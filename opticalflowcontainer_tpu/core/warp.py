@@ -1,0 +1,152 @@
+"""Backward warping (grid_sample equivalents) — the three reference conventions.
+
+The reference model zoo uses three *different* sampling grids for its
+``backwarp`` helpers, and converted pretrained weights are only correct if the
+convention matches (SURVEY.md §7 "hard parts"):
+
+- LiteFlowNet v1 (reference liteflownet.py:9-27): normalized grid with
+  endpoints at -1/+1 on pixel *centers* 0 and W-1 — torch
+  ``grid_sample(align_corners=True)``, zeros padding.
+- LiteFlowNet3 (reference liteflownet3.py:12-30): half-pixel grid
+  ``linspace(-1+1/W, 1-1/W, W)`` — torch ``align_corners=False``, zeros padding.
+- PWC-Net (reference pwc_net.py:12-36): align_corners=True grid plus a warped
+  ones-channel validity mask, thresholded at 0.999 and multiplied in.
+
+All are expressed here through one gather-based bilinear sampler in *pixel*
+coordinates with zeros padding; each convention just maps flow to pixel coords.
+Layout: images ``[..., H, W, C]`` (NHWC), flow ``[..., H, W, 2]`` with
+``flow[..., 0] = u`` (x-displacement), ``flow[..., 1] = v``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_hw(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
+    """Gather img[..., iy, ix, :] for integer index maps [..., h, w] whose
+    leading dims broadcast against the image's batch dims."""
+    H, W, C = img.shape[-3], img.shape[-2], img.shape[-1]
+    batch = img.shape[:-3]
+    flat = img.reshape(batch + (H * W, C))
+    lin = iy * W + ix
+    h, w = lin.shape[-2], lin.shape[-1]
+    lin = jnp.broadcast_to(lin, batch + (h, w)).reshape(batch + (h * w, 1))
+    out = jnp.take_along_axis(flat, lin, axis=-2)
+    return out.reshape(batch + (h, w, C))
+
+
+def sample_bilinear_zeros(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinear sample of ``img [..., H, W, C]`` at float pixel coords (x, y)
+    ``[H, W]`` each, zeros outside: out-of-range *taps* contribute zero, exactly
+    like torch ``grid_sample(padding_mode='zeros')``."""
+    H, W = img.shape[-3], img.shape[-2]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    out = None
+    for dy, dx, w in (
+        (0, 0, (1 - wx) * (1 - wy)),
+        (0, 1, wx * (1 - wy)),
+        (1, 0, (1 - wx) * wy),
+        (1, 1, wx * wy),
+    ):
+        ix, iy = x0i + dx, y0i + dy
+        valid = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))[..., None]
+        v = _gather_hw(img, jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1))
+        term = jnp.where(valid, v * w, 0.0)
+        out = term if out is None else out + term
+    return out
+
+
+def sample_bilinear_edge(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinear sample with edge clamping (border replicate) — used by the
+    classical-flow stack where OpenCV clamps instead of zero-padding."""
+    H, W = img.shape[-3], img.shape[-2]
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    v00 = _gather_hw(img, y0i, x0i)
+    v01 = _gather_hw(img, y0i, x1i)
+    v10 = _gather_hw(img, y1i, x0i)
+    v11 = _gather_hw(img, y1i, x1i)
+    return (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+
+
+def _base_grid(H: int, W: int) -> tuple[jax.Array, jax.Array]:
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    return xs, ys
+
+
+def warp_bilinear(img: jax.Array, flow: jax.Array, padding: str = "zeros") -> jax.Array:
+    """Warp ``img`` by ``flow`` in raw pixel units: out(p) = img(p + flow(p)).
+
+    This is the exact pixel-space warp (no normalized-grid round trip); both
+    align_corners conventions reduce to this when the flow is already in pixels.
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    xs, ys = _base_grid(H, W)
+    x = xs + flow[..., 0]
+    y = ys + flow[..., 1]
+    sampler = sample_bilinear_zeros if padding == "zeros" else sample_bilinear_edge
+    return sampler(img, x, y)
+
+
+def warp_align_corners(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """LiteFlowNet-v1 convention (torch align_corners=True, zeros padding).
+
+    The torch code normalizes flow by (W-1)/2 and adds it to a +/-1-endpoint
+    grid; in pixel space that is exactly ``p + flow`` — the convention only
+    changes how *normalized* coordinates map back to pixels, and with
+    align_corners=True that mapping is the identity on pixel centers.
+    """
+    return warp_bilinear(img, flow, padding="zeros")
+
+
+def warp_half_pixel(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """LiteFlowNet3 convention (torch align_corners=False, zeros padding).
+
+    LFN3 builds grid = linspace(-1+1/W, 1-1/W, W) + flow*2/(W-1) and samples
+    with align_corners=False (reference liteflownet3.py:12-30).  Mapping the
+    normalized coordinate back to pixels, x_pix = ((gx+1)*W - 1)/2
+    = x + u*W/(W-1): the effective pixel displacement is scaled by W/(W-1)
+    (and v by H/(H-1)).  Converted LFN3 weights are only correct with this
+    exact scaling.
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    scale = jnp.asarray([W / (W - 1.0), H / (H - 1.0)], img.dtype)
+    return warp_bilinear(img, flow * scale, padding="zeros")
+
+
+def warp_with_mask(img: jax.Array, flow: jax.Array) -> jax.Array:
+    """PWC-Net convention: warp with zeros padding, also warp a ones channel,
+    gate by (mask > 0.999) hard threshold (reference pwc_net.py:12-36)."""
+    ones = jnp.ones(img.shape[:-1] + (1,), img.dtype)
+    both = jnp.concatenate([img, ones], axis=-1)
+    warped = warp_bilinear(both, flow, padding="zeros")
+    mask = (warped[..., -1:] > 0.999).astype(img.dtype)
+    return warped[..., :-1] * mask
+
+
+def flow_grid_sample(img: jax.Array, grid_xy: jax.Array, padding: str = "zeros") -> jax.Array:
+    """Sample ``img [..., H, W, C]`` at absolute pixel coords ``grid_xy [..., 2]``
+    of any spatial shape [h, w] — the RAFT correlation-lookup primitive."""
+    sampler = sample_bilinear_zeros if padding == "zeros" else sample_bilinear_edge
+    return sampler(img, grid_xy[..., 0], grid_xy[..., 1])
