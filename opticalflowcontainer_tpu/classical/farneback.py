@@ -1,0 +1,276 @@
+"""Dense Farneback optical flow, cv2.calcOpticalFlowFarneback-parity, pure JAX.
+
+Algorithm (Farneback 2003, "Two-frame motion estimation based on polynomial
+expansion"), with OpenCV's operating conventions so results match
+``cv2.calcOpticalFlowFarneback`` to <=0.1 px mean EPE (BASELINE config 1):
+
+1.  **Polynomial expansion**: each pixel neighborhood is approximated as
+    f(p+d) ~ c + b^T d + d^T A d with a Gaussian-weighted LSQ fit over a
+    (2n+1)^2 window.  Because the weights are constant, the normal-equation
+    inverse is a constant 6x6 matrix and the projections reduce to six
+    separable correlations of the image with {g, x*g, x^2*g} kernels.
+    The special structure of the Gaussian moment matrix makes the
+    (c, x^2, y^2) block's cross-coupling cofactor vanish, so
+    a_xx = ig03*s0 + ig33*s_xx exactly (and symmetrically for a_yy).
+
+2.  **Displacement update**: with expansions (A0,b0) of frame0 at p and
+    (A1,b1) of frame1 sampled at p~ = p + dprior:
+        A  = (A0(p) + A1(p~))/2
+        db = (b0(p) - b1(p~))/2 + A @ dprior
+    accumulated into per-pixel normal equations G = A^T A, h = A^T db,
+    which are blurred over ``winsize`` (box, or Gaussian with the
+    OPTFLOW_FARNEBACK_GAUSSIAN flag) and solved 2x2 per pixel for the *total*
+    displacement.  Pixels whose warped sample falls outside the image use
+    frame0's A only with db = 0; a 5-px edge ramp down-weights border pixels.
+
+3.  **Pyramid**: levels are built by Gaussian-smoothing the *full-res* image
+    with sigma = (1/scale - 1)/2 then bilinear-resizing to round(size*scale)
+    — NOT a pyrDown chain (this is what cv2 does, and it matters for parity).
+
+TPU notes: everything is expressed as separable convs + elementwise math on
+[H, W]-static shapes — XLA fuses the per-pixel algebra into the conv epilogues;
+``farneback_batched`` vmaps over leading dims so clip batches (BASELINE
+config 3) present one big fused program to the MXU/VPU.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.filters import _sepconv, gaussian_kernel_1d
+from ..core.resize import resize_bilinear
+
+OPTFLOW_USE_INITIAL_FLOW = 4
+OPTFLOW_FARNEBACK_GAUSSIAN = 256
+
+# Edge ramp (5 px) applied to the expansion coefficients near image borders
+# before the normal equations are accumulated, so border pixels contribute
+# less to the blurred G/h fields.
+_BORDER_RAMP = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472], np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _poly_exp_inverse(n: int, sigma: float) -> tuple[np.ndarray, ...]:
+    """1-D kernels {g, x g, x^2 g} and the needed elements of the inverse
+    Gaussian moment matrix for window half-size n."""
+    x = np.arange(-n, n + 1, dtype=np.float64)
+    g = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    xg = x * g
+    xxg = x * x * g
+    # 6x6 moment matrix over basis {1, x, y, x^2, y^2, xy} with weights
+    # w(x,y)=g(x)g(y); only 4 distinct inverse elements are needed.
+    m2 = float((x * x * g).sum())
+    m4 = float((x**4 * g).sum())
+    G = np.array(
+        [
+            [1.0, 0, 0, m2, m2, 0],
+            [0, m2, 0, 0, 0, 0],
+            [0, 0, m2, 0, 0, 0],
+            [m2, 0, 0, m4, m2 * m2, 0],
+            [m2, 0, 0, m2 * m2, m4, 0],
+            [0, 0, 0, 0, 0, m2 * m2],
+        ]
+    )
+    invG = np.linalg.inv(G)
+    ig11 = invG[1, 1]  # b coefficient
+    ig03 = invG[0, 3]  # c <-> x^2 coupling
+    ig33 = invG[3, 3]  # x^2 coefficient
+    ig55 = invG[5, 5]  # xy coefficient
+    return g, xg, xxg, ig11, ig03, ig33, ig55
+
+
+def poly_exp(img: jax.Array, n: int, sigma: float) -> jax.Array:
+    """Polynomial-expansion coefficients [H, W, 5] = (bx, by, axx, ayy, qxy)
+    where the local model is c + bx*dx + by*dy + axx*dx^2 + ayy*dy^2 + qxy*dx*dy
+    (dx right, dy down; qxy is the raw xy fit coefficient == 2*A_offdiag).
+    Border: replicate."""
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_inverse(n, float(sigma))
+    s0 = _sepconv(img, g, g, "replicate")
+    sx = _sepconv(img, xg, g, "replicate")
+    sy = _sepconv(img, g, xg, "replicate")
+    sxx = _sepconv(img, xxg, g, "replicate")
+    syy = _sepconv(img, g, xxg, "replicate")
+    sxy = _sepconv(img, xg, xg, "replicate")
+    bx = ig11 * sx
+    by = ig11 * sy
+    axx = ig03 * s0 + ig33 * sxx
+    ayy = ig03 * s0 + ig33 * syy
+    qxy = ig55 * sxy
+    return jnp.stack([bx, by, axx, ayy, qxy], axis=-1)
+
+
+def _border_weight(H: int, W: int, ramp: np.ndarray) -> np.ndarray:
+    """Per-pixel down-weight: product of x and y edge ramps (1 in interior)."""
+    B = len(ramp)
+    wx = np.ones(W, np.float32)
+    wy = np.ones(H, np.float32)
+    for i in range(min(B, W)):
+        wx[i] *= ramp[i]
+        wx[W - 1 - i] *= ramp[i]
+    for i in range(min(B, H)):
+        wy[i] *= ramp[i]
+        wy[H - 1 - i] *= ramp[i]
+    return wy[:, None] * wx[None, :]
+
+
+def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array:
+    """Per-pixel normal equations M = [G00, G01, G11, h1, h2] ([H, W, 5])."""
+    H, W = R0.shape[0], R0.shape[1]
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    dx = flow[..., 0]
+    dy = flow[..., 1]
+    fx = xs + dx
+    fy = ys + dy
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    # all four taps strictly in-bounds, as cv2 requires
+    inb = (x0i >= 0) & (x0i < W - 1) & (y0i >= 0) & (y0i < H - 1)
+    wx = (fx - x0)[..., None]
+    wy = (fy - y0)[..., None]
+    xc = jnp.clip(x0i, 0, W - 2)
+    yc = jnp.clip(y0i, 0, H - 2)
+    flatR1 = R1.reshape(H * W, 5)
+
+    def tap(iy, ix):
+        return jnp.take(flatR1, (iy * W + ix).reshape(-1), axis=0).reshape(H, W, 5)
+
+    R1s = (
+        tap(yc, xc) * (1 - wx) * (1 - wy)
+        + tap(yc, xc + 1) * wx * (1 - wy)
+        + tap(yc + 1, xc) * (1 - wx) * wy
+        + tap(yc + 1, xc + 1) * wx * wy
+    )
+
+    # A terms: average of the two frames when the sample is valid, frame0 only
+    # otherwise (with db = 0 there: no data term, pure prior propagation).
+    axx = jnp.where(inb, (R0[..., 2] + R1s[..., 2]) * 0.5, R0[..., 2])
+    ayy = jnp.where(inb, (R0[..., 3] + R1s[..., 3]) * 0.5, R0[..., 3])
+    axy = jnp.where(inb, (R0[..., 4] + R1s[..., 4]) * 0.25, R0[..., 4] * 0.5)
+    dbx = jnp.where(inb, (R0[..., 0] - R1s[..., 0]) * 0.5, 0.0)
+    dby = jnp.where(inb, (R0[..., 1] - R1s[..., 1]) * 0.5, 0.0)
+    dbx = dbx + axx * dx + axy * dy
+    dby = dby + axy * dx + ayy * dy
+
+    bw = jnp.asarray(_border_weight(H, W, _BORDER_RAMP))
+    axx = axx * bw
+    ayy = ayy * bw
+    axy = axy * bw
+    dbx = dbx * bw
+    dby = dby * bw
+
+    G00 = axx * axx + axy * axy
+    G01 = (axx + ayy) * axy
+    G11 = ayy * ayy + axy * axy
+    h1 = axx * dbx + axy * dby
+    h2 = axy * dbx + ayy * dby
+    return jnp.stack([G00, G01, G11, h1, h2], axis=-1)
+
+
+def _solve_flow(M: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
+    """Blur the normal-equation field over winsize and solve 2x2 per pixel."""
+    Mc = jnp.moveaxis(M, -1, 0)  # [5, H, W]
+    if gaussian:
+        m = winsize // 2
+        sigma = m * 0.3
+        k = np.exp(-0.5 * (np.arange(-m, m + 1) / sigma) ** 2)
+        k /= k.sum()
+        Mb = _sepconv(Mc, k, k, "replicate")
+    else:
+        k = np.ones(winsize, np.float64) / winsize
+        Mb = _sepconv(Mc, k, k, "replicate")
+    G00, G01, G11, h1, h2 = Mb[0], Mb[1], Mb[2], Mb[3], Mb[4]
+    idet = 1.0 / (G00 * G11 - G01 * G01 + 1e-3)
+    u = (G11 * h1 - G01 * h2) * idet
+    v = (G00 * h2 - G01 * h1) * idet
+    return jnp.stack([u, v], axis=-1)
+
+
+def _num_levels(H: int, W: int, levels: int, pyr_scale: float) -> int:
+    """cv2 clamps the pyramid depth so the coarsest level stays >= ~32 px."""
+    k = 0
+    scale = 1.0
+    while k < levels:
+        scale *= pyr_scale
+        if W * scale < 32.0 or H * scale < 32.0:
+            break
+        k += 1
+    return k
+
+
+def _level_size(H: int, W: int, scale: float) -> tuple[int, int]:
+    # cvRound: round-half-to-even, same as python round()
+    return int(round(H * scale)), int(round(W * scale))
+
+
+def calc_optical_flow_farneback(
+    prev: jax.Array,
+    next: jax.Array,
+    flow: jax.Array | None = None,
+    pyr_scale: float = 0.5,
+    levels: int = 3,
+    winsize: int = 15,
+    iterations: int = 3,
+    poly_n: int = 5,
+    poly_sigma: float = 1.2,
+    flags: int = 0,
+) -> jax.Array:
+    """``cv2.calcOpticalFlowFarneback`` parity.  ``prev``/``next`` are
+    single-channel [H, W] images (uint8 range); returns flow [H, W, 2]
+    (u = x-displacement, v = y-displacement) mapping prev -> next."""
+    H, W = prev.shape[-2], prev.shape[-1]
+    prev = prev.astype(jnp.float32)
+    next = next.astype(jnp.float32)
+    use_gauss = bool(flags & OPTFLOW_FARNEBACK_GAUSSIAN)
+    use_init = bool(flags & OPTFLOW_USE_INITIAL_FLOW) and flow is not None
+
+    n_levels = _num_levels(H, W, levels, pyr_scale)
+    cur_flow = None
+    for k in range(n_levels, -1, -1):
+        scale = pyr_scale**k
+        lh, lw = _level_size(H, W, scale)
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+
+        if cur_flow is None:
+            if use_init:
+                cur_flow = resize_bilinear(flow, (lh, lw), channel_last=True) * scale
+            else:
+                cur_flow = jnp.zeros((lh, lw, 2), jnp.float32)
+        else:
+            cur_flow = (
+                resize_bilinear(cur_flow, (lh, lw), channel_last=True) / pyr_scale
+            )
+
+        def prep(img):
+            blurred = _sepconv(
+                img,
+                gaussian_kernel_1d(smooth_sz, sigma),
+                gaussian_kernel_1d(smooth_sz, sigma),
+                "reflect101",
+            )
+            return resize_bilinear(blurred, (lh, lw))
+
+        R0 = poly_exp(prep(prev), poly_n, poly_sigma)
+        R1 = poly_exp(prep(next), poly_n, poly_sigma)
+
+        for _ in range(iterations):
+            M = _update_matrices(R0, R1, cur_flow)
+            cur_flow = _solve_flow(M, winsize, use_gauss)
+    return cur_flow
+
+
+def farneback_batched(
+    prev: jax.Array, next: jax.Array, **kwargs
+) -> jax.Array:
+    """vmap of :func:`calc_optical_flow_farneback` over one leading batch dim:
+    [B, H, W] x2 -> [B, H, W, 2].  The BASELINE config-3 entry point (batched
+    clips); jit-wrap at the call site with static kwargs."""
+    fn = functools.partial(calc_optical_flow_farneback, **kwargs)
+    return jax.vmap(fn)(prev, next)

@@ -1,0 +1,82 @@
+"""Farneback cv2-parity tests (BASELINE config 1: <=0.1 px mean EPE)."""
+import cv2
+import numpy as np
+import pytest
+
+from opticalflowcontainer_tpu.classical import (
+    calc_optical_flow_farneback,
+    farneback_batched,
+    OPTFLOW_FARNEBACK_GAUSSIAN,
+)
+
+DEFAULTS = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3, poly_n=5, poly_sigma=1.2)
+
+
+def _pair(rng, H, W, M):
+    base = cv2.GaussianBlur(
+        rng.uniform(0, 255, (H + 80, W + 80)).astype(np.float32), (0, 0), 2.5
+    )
+    f1 = base[40 : 40 + H, 40 : 40 + W].astype(np.uint8)
+    f2 = cv2.warpAffine(base, M, (W + 80, H + 80))[40 : 40 + H, 40 : 40 + W].astype(
+        np.uint8
+    )
+    return f1, f2
+
+
+def _epe(ours, ref):
+    return float(np.linalg.norm(np.asarray(ours) - ref, axis=-1).mean())
+
+
+def test_translation_parity(rng):
+    f1, f2 = _pair(rng, 120, 160, np.float32([[1, 0, -2.3], [0, 1, 1.7]]))
+    ref = cv2.calcOpticalFlowFarneback(f1, f2, None, flags=0, **DEFAULTS)
+    ours = calc_optical_flow_farneback(
+        f1.astype(np.float32), f2.astype(np.float32), **DEFAULTS
+    )
+    assert _epe(ours, ref) < 0.01
+    # and it actually finds the motion
+    assert abs(float(np.asarray(ours)[..., 0].mean()) - ref[..., 0].mean()) < 0.01
+
+
+def test_rotation_zoom_parity(rng):
+    f1, f2 = _pair(rng, 160, 200, cv2.getRotationMatrix2D((100, 80), 2.0, 1.02))
+    ref = cv2.calcOpticalFlowFarneback(f1, f2, None, flags=0, **DEFAULTS)
+    ours = calc_optical_flow_farneback(
+        f1.astype(np.float32), f2.astype(np.float32), **DEFAULTS
+    )
+    assert _epe(ours, ref) < 0.1
+
+
+def test_gaussian_flag_parity(rng):
+    f1, f2 = _pair(rng, 120, 160, np.float32([[1, 0, -1.4], [0, 1, 2.8]]))
+    ref = cv2.calcOpticalFlowFarneback(
+        f1, f2, None, flags=OPTFLOW_FARNEBACK_GAUSSIAN, **DEFAULTS
+    )
+    ours = calc_optical_flow_farneback(
+        f1.astype(np.float32),
+        f2.astype(np.float32),
+        flags=OPTFLOW_FARNEBACK_GAUSSIAN,
+        **DEFAULTS,
+    )
+    assert _epe(ours, ref) < 0.05
+
+
+def test_nondefault_params_parity(rng):
+    f1, f2 = _pair(rng, 121, 159, np.float32([[1, 0, 2.0], [0, 1, 1.0]]))
+    args = dict(pyr_scale=0.8, levels=4, winsize=13, iterations=2, poly_n=7, poly_sigma=1.5)
+    ref = cv2.calcOpticalFlowFarneback(f1, f2, None, flags=0, **args)
+    ours = calc_optical_flow_farneback(
+        f1.astype(np.float32), f2.astype(np.float32), **args
+    )
+    assert _epe(ours, ref) < 0.05
+
+
+def test_batched_matches_single(rng):
+    f1a, f2a = _pair(rng, 96, 128, np.float32([[1, 0, 1.5], [0, 1, -0.5]]))
+    f1b, f2b = _pair(rng, 96, 128, np.float32([[1, 0, -1.0], [0, 1, 2.0]]))
+    prev = np.stack([f1a, f1b]).astype(np.float32)
+    nxt = np.stack([f2a, f2b]).astype(np.float32)
+    args = dict(pyr_scale=0.5, levels=2, winsize=11, iterations=2, poly_n=5, poly_sigma=1.1)
+    batched = np.asarray(farneback_batched(prev, nxt, **args))
+    single = np.asarray(calc_optical_flow_farneback(prev[1], nxt[1], **args))
+    np.testing.assert_allclose(batched[1], single, atol=1e-5)

@@ -1,0 +1,63 @@
+"""Pyramidal LK cv2-parity tests (BASELINE config 2: 500 corners, 3 levels)."""
+import cv2
+import numpy as np
+
+from opticalflowcontainer_tpu.classical import calc_optical_flow_pyr_lk
+
+
+def _pair(rng, H=240, W=320, shift=(-3.3, 2.6)):
+    base = cv2.GaussianBlur(
+        rng.uniform(0, 255, (H + 40, W + 40)).astype(np.float32), (0, 0), 1.5
+    )
+    M = np.float32([[1, 0, shift[0]], [0, 1, shift[1]]])
+    f1 = base[20 : 20 + H, 20 : 20 + W].astype(np.uint8)
+    f2 = cv2.warpAffine(base, M, (W + 40, H + 40))[20 : 20 + H, 20 : 20 + W].astype(
+        np.uint8
+    )
+    return f1, f2
+
+
+def test_500_corners_parity(rng):
+    f1, f2 = _pair(rng)
+    pts = cv2.goodFeaturesToTrack(f1, 500, 0.01, 8).reshape(-1, 2)
+    ref_pts, ref_st, _ = cv2.calcOpticalFlowPyrLK(
+        f1, f2, pts.reshape(-1, 1, 2), None, winSize=(21, 21), maxLevel=3,
+        criteria=(cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_COUNT, 30, 0.01),
+    )
+    ref_pts, ref_st = ref_pts.reshape(-1, 2), ref_st.ravel()
+    res = calc_optical_flow_pyr_lk(
+        f1.astype(np.float32), f2.astype(np.float32), pts
+    )
+    ours, st = np.asarray(res.pts), np.asarray(res.status)
+    both = (ref_st == 1) & (st == 1)
+    assert both.sum() >= 0.95 * (ref_st == 1).sum()
+    d = np.linalg.norm(ours[both] - ref_pts[both], axis=-1)
+    assert d.mean() < 0.05
+    # EPE vs ground truth on par with cv2
+    gt = pts + np.float32([-3.3, 2.6])
+    ours_epe = np.linalg.norm(ours[both] - gt[both], axis=-1).mean()
+    cv2_epe = np.linalg.norm(ref_pts[both] - gt[both], axis=-1).mean()
+    assert ours_epe < cv2_epe + 0.05
+
+
+def test_initial_flow_guess(rng):
+    f1, f2 = _pair(rng, shift=(6.0, 0.0))
+    pts = cv2.goodFeaturesToTrack(f1, 100, 0.01, 10).reshape(-1, 2)
+    res = calc_optical_flow_pyr_lk(
+        f1.astype(np.float32),
+        f2.astype(np.float32),
+        pts,
+        next_pts=pts + np.float32([5.5, 0.0]),
+    )
+    ours, st = np.asarray(res.pts), np.asarray(res.status)
+    ok = st == 1
+    gt = pts + np.float32([6.0, 0.0])
+    assert np.linalg.norm(ours[ok] - gt[ok], axis=-1).mean() < 0.2
+
+
+def test_status_kills_offimage_points(rng):
+    f1, f2 = _pair(rng)
+    pts = np.float32([[5000.0, 5000.0], [160.0, 120.0]])
+    res = calc_optical_flow_pyr_lk(f1.astype(np.float32), f2.astype(np.float32), pts)
+    st = np.asarray(res.status)
+    assert st[0] == 0 and st[1] == 1
