@@ -1,0 +1,102 @@
+"""RAFT all-pairs correlation volume, pyramid, and windowed lookup.
+
+The RAFT path (reference capability: visualize_raft.py's torchvision
+``raft_large``; BASELINE config 4 asks for RAFT-small with a Pallas
+correlation volume) needs three pieces:
+
+1. ``all_pairs_correlation``: C(h, w, h', w') = <F1[h,w,:], F2[h',w',:]>/sqrt(C)
+   — expressed as one [HW, C] x [C, HW] matmul, exactly what the TPU MXU wants.
+2. ``corr_pyramid``: average-pool the last two (target) dims into L levels.
+3. ``corr_lookup``: for each source pixel and level, bilinearly sample the
+   volume in a (2r+1)^2 grid centered at the flow-displaced target coordinate
+   (coords divided by 2^level), concatenating levels -> [H, W, L*(2r+1)^2].
+
+Layout: features NHWC; volume [H, W, H', W'] per batch element (vmap for
+batches).  All shapes static; the lookup is a gather the TPU handles well
+because the (2r+1)^2 taps are unrolled statically.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def all_pairs_correlation(f1: jax.Array, f2: jax.Array) -> jax.Array:
+    """[H, W, C] x [H, W, C] -> [H, W, H, W] scaled by 1/sqrt(C)."""
+    H, W, C = f1.shape
+    a = f1.reshape(H * W, C)
+    b = f2.reshape(H * W, C)
+    vol = jnp.dot(a, b.T, preferred_element_type=jnp.float32) / jnp.sqrt(
+        jnp.asarray(C, jnp.float32)
+    )
+    return vol.reshape(H, W, H, W)
+
+
+def corr_pyramid(vol: jax.Array, levels: int = 4) -> list[jax.Array]:
+    """Average-pool the target dims by 2 per level: [H, W, H/2^l, W/2^l]."""
+    H, W = vol.shape[0], vol.shape[1]
+    pyr = [vol]
+    for _ in range(levels - 1):
+        v = pyr[-1]
+        h2, w2 = v.shape[2] // 2, v.shape[3] // 2
+        v = v[:, :, : h2 * 2, : w2 * 2].reshape(H, W, h2, 2, w2, 2).mean(axis=(3, 5))
+        pyr.append(v)
+    return pyr
+
+
+def _bilinear_volume_sample(vol: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Sample vol [H, W, H2, W2] at per-source-pixel target coords
+    x, y [H, W, T] (zeros outside), returning [H, W, T]."""
+    H, W, H2, W2 = vol.shape
+    T = x.shape[-1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = vol.reshape(H * W, H2 * W2)
+    src = jnp.arange(H * W)[:, None]
+
+    def tap(iy, ix):
+        ok = (iy >= 0) & (iy < H2) & (ix >= 0) & (ix < W2)
+        lin = jnp.clip(iy, 0, H2 - 1) * W2 + jnp.clip(ix, 0, W2 - 1)
+        v = jnp.take_along_axis(flat, lin.reshape(H * W, T), axis=1).reshape(H, W, T)
+        return jnp.where(ok, v, 0.0)
+
+    del src
+    return (
+        tap(y0i, x0i) * (1 - wx) * (1 - wy)
+        + tap(y0i, x0i + 1) * wx * (1 - wy)
+        + tap(y0i + 1, x0i) * (1 - wx) * wy
+        + tap(y0i + 1, x0i + 1) * wx * wy
+    )
+
+
+def corr_lookup(
+    pyramid: list[jax.Array], flow: jax.Array, radius: int = 4
+) -> jax.Array:
+    """Windowed multi-scale cost-volume lookup.
+
+    ``flow`` [H, W, 2] (u, v); returns [H, W, levels*(2r+1)^2] features, level
+    -major then row-major over (dy, dx) — torchvision RAFT ordering.
+    """
+    H, W = flow.shape[0], flow.shape[1]
+    r = radius
+    K = 2 * r + 1
+    oy, ox = np.mgrid[-r : r + 1, -r : r + 1]
+    oy = jnp.asarray(oy.reshape(-1), jnp.float32)
+    ox = jnp.asarray(ox.reshape(-1), jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    cx = xs + flow[..., 0]
+    cy = ys + flow[..., 1]
+    feats = []
+    for lvl, vol in enumerate(pyramid):
+        scale = 0.5**lvl
+        x = cx[..., None] * scale + ox
+        y = cy[..., None] * scale + oy
+        feats.append(_bilinear_volume_sample(vol, x, y))
+    del K
+    return jnp.concatenate(feats, axis=-1)

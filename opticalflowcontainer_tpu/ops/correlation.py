@@ -1,0 +1,88 @@
+"""Generalized local correlation (cost volume).
+
+One parameterized op covers every correlation configuration in the reference
+model zoo (SURVEY.md §2.1):
+
+=====================  ====================================== ==========
+reference user          config                                 channels
+=====================  ====================================== ==========
+PWC-Net                 max_disp=4, disp_stride=1, out_stride=1   81
+LiteFlowNet lvl<=3      max_disp=3, disp_stride=1, out_stride=1   49
+LiteFlowNet lvl>=4      max_disp=3x2, disp_stride=2, out_stride=2 49
+LFN3 cross-corr         max_disp=4, disp_stride=1, out_stride=1   81
+LFN3 self-corr lvl 4    max_disp=6, disp_stride=2, out_stride=1   49
+LFN3 self-corr lvl 3    max_disp=8, disp_stride=2, out_stride=1   81
+=====================  ====================================== ==========
+
+Semantics (matching the reference kernels — correlation_cuda_kernel.cu:73-147
+and the CuPy kernel_Correlation_updateOutput):
+
+    out[y, x, c] = (1/C) * sum_ch f1[y*os, x*os, ch] * f2[y*os+dy, x*os+dx, ch]
+
+with (dy, dx) = ((c // K) - D, (c % K) - D) * disp_stride, K = 2*D+1,
+D = max_disp // disp_stride, zeros outside the image.  Channel order is
+row-major over (dy, dx), identical to the reference (top_channel % K gives x).
+
+Layout: NHWC ``[..., H, W, C]`` in, ``[..., H/os, W/os, K*K]`` out.
+Differentiable by construction (pure lax ops — JAX autodiff supplies the exact
+adjoint of the reference's hand-written backward kernels).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def correlation_lax(
+    f1: jax.Array,
+    f2: jax.Array,
+    max_disp: int,
+    disp_stride: int = 1,
+    out_stride: int = 1,
+) -> jax.Array:
+    """Pure-lax local correlation (see module docstring for semantics)."""
+    assert max_disp % disp_stride == 0, "max_disp must be divisible by disp_stride"
+    D = max_disp // disp_stride
+    K = 2 * D + 1
+    H, W, C = f1.shape[-3], f1.shape[-2], f1.shape[-1]
+    pad = max_disp
+    cfg = [(0, 0)] * (f1.ndim - 3) + [(pad, pad), (pad, pad), (0, 0)]
+    f2p = jnp.pad(f2, cfg)
+    if out_stride > 1:
+        f1 = f1[..., ::out_stride, ::out_stride, :]
+    outs = []
+    for iy in range(K):
+        for ix in range(K):
+            dy = (iy - D) * disp_stride
+            dx = (ix - D) * disp_stride
+            sl = f2p[..., pad + dy : pad + dy + H, pad + dx : pad + dx + W, :]
+            if out_stride > 1:
+                sl = sl[..., ::out_stride, ::out_stride, :]
+            outs.append(jnp.sum(f1 * sl, axis=-1))
+    return jnp.stack(outs, axis=-1) / C
+
+
+def local_correlation(
+    f1: jax.Array,
+    f2: jax.Array,
+    max_disp: int,
+    disp_stride: int = 1,
+    out_stride: int = 1,
+) -> jax.Array:
+    """Local correlation with automatic backend dispatch: the Pallas TPU kernel
+    for supported configs on TPU, the lax reference otherwise."""
+    try:
+        from .correlation_pallas import correlation_pallas, pallas_supported
+
+        if pallas_supported(f1, max_disp, disp_stride, out_stride):
+            return correlation_pallas(f1, f2, max_disp, disp_stride, out_stride)
+    except ImportError:  # pragma: no cover
+        pass
+    return correlation_lax(f1, f2, max_disp, disp_stride, out_stride)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def local_correlation_jit(f1, f2, max_disp, disp_stride=1, out_stride=1):
+    return local_correlation(f1, f2, max_disp, disp_stride, out_stride)
