@@ -60,24 +60,28 @@ def gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float64)
 
 
-def _sepconv(img: jax.Array, kx: np.ndarray, ky: np.ndarray, border: str) -> jax.Array:
-    """Separable 2-D correlation over the trailing [H, W] dims.
+def _corr1d(x: jax.Array, k, axis: int) -> jax.Array:
+    """VALID 1-D correlation along ``axis`` as a statically-unrolled sum of
+    scaled shifted slices — K fused multiply-adds, no conv op.  Dramatically
+    faster than XLA's single-channel conv path on CPU and maps to pure VPU
+    work (fusible with neighbors) on TPU."""
+    K = len(k)
+    n = x.shape[axis] - K + 1
+    out = None
+    for i in range(K):
+        term = jax.lax.slice_in_dim(x, i, i + n, axis=axis) * float(k[i])
+        out = term if out is None else out + term
+    return out
 
-    Lowered as two 1-D ``lax.conv_general_dilated`` calls on a flattened batch
-    so XLA sees one big convolution (good TPU utilisation) regardless of the
-    caller's leading dims.
-    """
-    orig_shape = img.shape
-    H, W = orig_shape[-2], orig_shape[-1]
-    x = img.reshape((-1, 1, H, W)).astype(jnp.float32)
-    rh, rw = len(ky) // 2, len(kx) // 2
-    x = _pad2d(x, rh, rw, border)
-    ky_f = jnp.asarray(ky, jnp.float32).reshape(1, 1, len(ky), 1)
-    kx_f = jnp.asarray(kx, jnp.float32).reshape(1, 1, 1, len(kx))
-    dn = jax.lax.conv_dimension_numbers(x.shape, ky_f.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(x, ky_f, (1, 1), "VALID", dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kx_f, (1, 1), "VALID", dimension_numbers=dn)
-    return x.reshape(orig_shape)
+
+def _sepconv(img: jax.Array, kx: np.ndarray, ky: np.ndarray, border: str) -> jax.Array:
+    """Separable 2-D correlation over the trailing [H, W] dims (any leading
+    batch dims), with an OpenCV border mode."""
+    x = img.astype(jnp.float32)
+    x = _pad2d(x, len(ky) // 2, len(kx) // 2, border)
+    x = _corr1d(x, ky, x.ndim - 2)
+    x = _corr1d(x, kx, x.ndim - 1)
+    return x
 
 
 def gaussian_blur(

@@ -111,7 +111,7 @@ def _forward(f1, f2, max_disp, disp_stride, out_stride):
         grid=(Hp // _TH,),
         in_specs=[
             pl.BlockSpec((_TH, W, Cp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (_TH, W, K * K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM

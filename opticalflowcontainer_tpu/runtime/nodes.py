@@ -1,0 +1,303 @@
+"""Runtime nodes: the per-frame pipeline stages.
+
+:class:`FlowNode` is the centerpiece — the equivalent of the reference's
+``*_node.py`` family.  One class covers both execution styles:
+
+- topic-driven (``node.attach(bus)`` subscribes to the image topic —
+  reference ``*_sub_node`` twins),
+- producer/consumer streaming (``node.start_stream(source)`` runs capture and
+  inference on separate threads joined by a bounded drop-newest
+  ``Queue(maxsize=2)`` — reference lfn3_node.py:78-137).
+
+Flow backends are callables ``(prev_gray_or_bgr, cur, dt) -> flow [H, W, 2]``;
+:func:`make_farneback_backend` / :func:`make_model_backend` build jitted ones.
+Velocity estimation, depth/fx-driven scaling, junction masking, smoothing,
+debug-image topics and CSV timing hang off the node per the reference
+contract.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue as queue_mod
+import threading
+import time
+from typing import Callable
+
+import numpy as np
+
+from .bus import ApproximateTimeSynchronizer, Bus
+from .messages import (
+    FlowMsg,
+    Header,
+    ImageMsg,
+    PointCloudMsg,
+    RangeMsg,
+    Vector3StampedMsg,
+)
+from .velocity import VelocityEstimator, junction_mask
+from .timing import CsvTimer
+
+
+@dataclasses.dataclass
+class NodeParams:
+    """declare_parameter-equivalent config (reference lfn3_node.py:22-44)."""
+
+    width: int = 640
+    height: int = 480
+    fps: float = 30.0
+    pixel_to_meter: float = 0.000857
+    aggregate: str = "mean"  # mean | median
+    smooth_window: int = 5
+    max_speed: float | None = None
+    name: str = "FLOW"
+    write_csv: bool = False
+    csv_dir: str = "."
+    publish_debug_images: bool = False
+    junction_box: int = 11
+    queue_size: int = 2
+
+
+class FlowNode:
+    """image in -> velocity out.
+
+    Topics out: /optical_flow/<NAME>_velocity, /optical_flow/<NAME>_smooth_velocity,
+    plus image_live_feed / image_flow debug topics when enabled.
+    Topics in (attach): /camera/color/image_raw, /camera/color/camera_info,
+    /camera/depth/median_distance.
+    """
+
+    def __init__(self, backend: Callable, params: NodeParams | None = None,
+                 bus: Bus | None = None):
+        self.backend = backend
+        self.p = params or NodeParams()
+        self.bus = bus or Bus()
+        self.vel = VelocityEstimator(
+            self.p.pixel_to_meter, self.p.aggregate, self.p.smooth_window,
+            self.p.max_speed,
+        )
+        self.timer = CsvTimer(
+            f"{self.p.csv_dir}/{self.p.name.lower()}_{self.p.width}x{self.p.height}.csv"
+        ) if self.p.write_csv else None
+        self._prev: tuple[np.ndarray, float] | None = None
+        self._subs = []
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._queue: queue_mod.Queue = queue_mod.Queue(maxsize=self.p.queue_size)
+        self.frames_processed = 0
+
+    # ---------------------------------------------------------- topic mode
+    def attach(self, bus: Bus | None = None, direct: bool = True):
+        if bus is not None:
+            self.bus = bus
+        self._subs.append(
+            self.bus.subscribe("/camera/color/image_raw", self._image_callback,
+                               depth=10, direct=direct)
+        )
+        self._subs.append(
+            self.bus.subscribe("/camera/color/camera_info",
+                               lambda m: self.vel.set_fx(m.fx), direct=direct)
+        )
+        self._subs.append(
+            self.bus.subscribe("/camera/depth/median_distance",
+                               lambda m: self.vel.set_depth(m.range), direct=direct)
+        )
+        return self
+
+    def _image_callback(self, msg: ImageMsg, mask: np.ndarray | None = None):
+        try:
+            self._process(msg, mask)
+        except Exception:  # per-frame fault boundary (reference style)
+            import traceback
+
+            traceback.print_exc()
+
+    # ------------------------------------------------------- stream mode
+    def start_stream(self, source):
+        """Producer/consumer: capture thread fills a bounded queue (dropping
+        the newest frame on overflow), inference thread drains it."""
+
+        def producer():
+            # pace at the source's fps, like a real camera delivers frames
+            period = 1.0 / getattr(source, "fps", self.p.fps)
+            t_next = time.monotonic()
+            for frame in source.frames():
+                if self._stop.is_set():
+                    return
+                msg = ImageMsg(Header(time.monotonic()), frame, "bgr8")
+                try:
+                    self._queue.put_nowait(msg)
+                except queue_mod.Full:
+                    pass  # drop: backpressure policy (reference lfn3_node.py:134-137)
+                t_next += period
+                delay = t_next - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+            self._stop.set()
+
+        def consumer():
+            while not (self._stop.is_set() and self._queue.empty()):
+                try:
+                    msg = self._queue.get(timeout=0.1)
+                except queue_mod.Empty:
+                    continue
+                self._image_callback(msg)
+
+        self._threads = [
+            threading.Thread(target=producer, daemon=True),
+            threading.Thread(target=consumer, daemon=True),
+        ]
+        for t in self._threads:
+            t.start()
+        return self
+
+    def wait(self, timeout: float | None = None):
+        for t in self._threads:
+            t.join(timeout)
+
+    def stop(self):
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=2.0)
+        for s in self._subs:
+            self.bus.unsubscribe(s)
+
+    # ------------------------------------------------------------ core
+    def _process(self, msg: ImageMsg, mask: np.ndarray | None = None):
+        t0 = time.perf_counter()
+        frame = msg.data
+        if frame.ndim == 3:
+            gray = frame.mean(axis=-1).astype(np.float32) if frame.shape[-1] == 3 else frame[..., 0]
+        else:
+            gray = frame.astype(np.float32)
+        if self._prev is None:
+            self._prev = (gray, msg.header.stamp)
+            return
+        prev, t_prev = self._prev
+        self._prev = (gray, msg.header.stamp)
+        dt = msg.header.stamp - t_prev
+
+        flow = np.asarray(self.backend(prev, gray, dt))
+        vx, vx_smooth, _vy = self.vel.update(flow, dt, mask)
+        name = self.p.name
+        self.bus.publish(
+            f"/optical_flow/{name}_velocity",
+            Vector3StampedMsg(msg.header, vx),
+        )
+        self.bus.publish(
+            f"/optical_flow/{name}_smooth_velocity",
+            Vector3StampedMsg(msg.header, vx_smooth),
+        )
+        self.bus.publish(f"/optical_flow/{name}_flow", FlowMsg(msg.header, flow))
+        if self.p.publish_debug_images:
+            from .viz import flow_to_bgr
+
+            self.bus.publish("/optical_flow/image_live_feed", ImageMsg(msg.header, frame))
+            self.bus.publish(
+                "/optical_flow/image_flow",
+                ImageMsg(msg.header, flow_to_bgr(flow)),
+            )
+        if self.timer:
+            self.timer.record(msg.header.stamp, time.perf_counter() - t0)
+        self.frames_processed += 1
+
+
+class DepthNode:
+    """Depth image in -> median distance out (reference
+    depth_subandpub_node.py:16-85): median over a central ROI (or the whole
+    image), times depth_scale, published as RangeMsg."""
+
+    def __init__(self, bus: Bus, depth_scale: float = 0.001, roi: int = 250,
+                 depth_mode: str = "roi", direct: bool = True):
+        self.bus = bus
+        self.depth_scale = depth_scale
+        self.roi = roi
+        self.depth_mode = depth_mode
+        self._sub = bus.subscribe(
+            "/camera/aligned_depth_to_color/image_raw", self._callback, direct=direct
+        )
+
+    def _callback(self, msg: ImageMsg):
+        depth = msg.data
+        if self.depth_mode == "roi":
+            H, W = depth.shape[:2]
+            r = self.roi // 2
+            cy, cx = H // 2, W // 2
+            depth = depth[max(cy - r, 0) : cy + r, max(cx - r, 0) : cx + r]
+        valid = depth[depth > 0]
+        if valid.size == 0:
+            return
+        median = float(np.median(valid)) * self.depth_scale
+        self.bus.publish(
+            "/camera/depth/median_distance", RangeMsg(msg.header, median)
+        )
+
+
+class JunctionMaskFlowNode(FlowNode):
+    """Junction-masked flow (reference sub_n_pub_lfn3_node.py:142-267):
+    time-synchronized image + junction PointCloud, flow aggregated only over
+    11x11 boxes around each junction."""
+
+    def attach(self, bus: Bus | None = None, direct: bool = True):
+        if bus is not None:
+            self.bus = bus
+        self._sync = ApproximateTimeSynchronizer(
+            self.bus,
+            ["/camera/color/image_raw", "/junction_detector/junctions"],
+            self._synced_callback,
+            queue_size=10,
+            slop=0.01,
+            direct=direct,
+        )
+        self._subs.extend(self._sync._subs)
+        self._subs.append(
+            self.bus.subscribe("/camera/color/camera_info",
+                               lambda m: self.vel.set_fx(m.fx), direct=direct)
+        )
+        self._subs.append(
+            self.bus.subscribe("/camera/depth/median_distance",
+                               lambda m: self.vel.set_depth(m.range), direct=direct)
+        )
+        return self
+
+    def _synced_callback(self, img_msg: ImageMsg, junc_msg: PointCloudMsg):
+        mask = junction_mask(
+            img_msg.data.shape[:2], junc_msg.points, self.p.junction_box
+        )
+        if self.p.publish_debug_images:
+            self.bus.publish(
+                "/optical_flow/image_mask",
+                ImageMsg(img_msg.header, (mask * 255).astype(np.uint8), "mono8"),
+            )
+        self._image_callback(img_msg, mask)
+
+
+# ---------------------------------------------------------------- backends
+
+def make_farneback_backend(**kwargs):
+    """Jitted Farneback backend; kwargs forwarded to
+    classical.calc_optical_flow_farneback."""
+    import functools
+    import jax
+
+    from ..classical import calc_optical_flow_farneback
+
+    fn = jax.jit(functools.partial(calc_optical_flow_farneback, **kwargs))
+
+    def backend(prev, cur, dt):
+        return np.asarray(fn(prev, cur))
+
+    return backend
+
+
+def make_model_backend(estimate_fn):
+    """Wrap a model ``estimate``-style callable (img1, img2) -> flow.  Expects
+    float [0,1] BGR NHWC images; grayscale inputs are stacked to 3 channels."""
+
+    def backend(prev, cur, dt):
+        def to3(x):
+            x = x.astype(np.float32) / 255.0
+            return np.repeat(x[..., None], 3, -1) if x.ndim == 2 else x
+
+        return np.asarray(estimate_fn(to3(prev), to3(cur)))
+
+    return backend

@@ -1,0 +1,155 @@
+"""Runtime layer tests: bus semantics, time sync, velocity math, end-to-end
+streaming against the synthetic camera's ground truth."""
+import time
+
+import numpy as np
+
+from opticalflowcontainer_tpu.runtime import (
+    ApproximateTimeSynchronizer,
+    Bus,
+    DepthNode,
+    FlowNode,
+    JunctionMaskFlowNode,
+    NodeParams,
+    SyntheticCamera,
+    VelocityEstimator,
+)
+from opticalflowcontainer_tpu.runtime.messages import (
+    Header,
+    ImageMsg,
+    PointCloudMsg,
+)
+from opticalflowcontainer_tpu.runtime.nodes import make_farneback_backend
+from opticalflowcontainer_tpu.runtime.velocity import junction_mask
+
+
+def test_bus_pubsub_and_depth_limit():
+    bus = Bus()
+    got = []
+    bus.subscribe("/t", got.append, depth=3)
+    for i in range(5):
+        bus.publish("/t", i)
+    assert got == [0, 1, 2, 3, 4]  # direct mode delivers everything
+
+
+def test_bus_latched():
+    bus = Bus()
+    bus.publish("/info", "hello", latch=True)
+    got = []
+    bus.subscribe("/info", got.append)
+    assert got == ["hello"]
+
+
+def test_time_synchronizer_joins_within_slop():
+    bus = Bus()
+    joins = []
+    ApproximateTimeSynchronizer(
+        bus, ["/a", "/b"], lambda a, b: joins.append((a, b)), slop=0.01
+    )
+    bus.publish("/a", ImageMsg(Header(1.000), np.zeros(1)))
+    bus.publish("/b", ImageMsg(Header(1.005), np.zeros(1)))  # within slop
+    bus.publish("/a", ImageMsg(Header(2.000), np.zeros(1)))
+    bus.publish("/b", ImageMsg(Header(2.100), np.zeros(1)))  # outside slop
+    assert len(joins) == 1
+    assert joins[0][0].header.stamp == 1.000
+
+
+def test_velocity_estimator_math():
+    v = VelocityEstimator(pixel_to_meter=0.001, aggregate="mean", smooth_window=2)
+    flow = np.zeros((4, 4, 2), np.float32)
+    flow[..., 0] = 3.0
+    vx, vs, vy = v.update(flow, dt=0.1)
+    assert abs(vx - 0.03) < 1e-9
+    # dt <= 0 guard
+    vx2, _, _ = v.update(flow, dt=0.0)
+    assert abs(vx2 - 3.0 * 0.001 / 1e-3) < 1e-9
+    # dynamic pixel_to_meter = depth / fx
+    v.set_fx(600.0)
+    v.set_depth(1.2)
+    assert abs(v.pixel_to_meter - 0.002) < 1e-12
+
+
+def test_junction_mask_boxes():
+    mask = junction_mask((20, 20), np.array([[10.0, 10.0]]), box=5)
+    assert mask[10, 10] and mask[8, 8] and mask[12, 12]
+    assert not mask[5, 5]
+    assert mask.sum() == 25
+
+
+def test_end_to_end_stream_velocity():
+    """Full producer/consumer pipeline recovers the synthetic ground truth."""
+    bus = Bus()
+    gt = 0.05
+    p2m = 0.000857
+    cam = SyntheticCamera(
+        bus, width=160, height=120, fps=15, n_frames=12,
+        velocity_mps=gt, pixel_to_meter=p2m,
+    )
+    node = FlowNode(
+        make_farneback_backend(levels=2, winsize=11, iterations=2),
+        NodeParams(pixel_to_meter=p2m, name="FB", smooth_window=3),
+        bus,
+    )
+    # warm the jit so the stream isn't dropped during compile
+    f0, f1 = cam.frame_at(0), cam.frame_at(1)
+    node.backend(f0.mean(-1).astype(np.float32), f1.mean(-1).astype(np.float32), 0.1)
+
+    vels = []
+    bus.subscribe("/optical_flow/FB_velocity", lambda m: vels.append(m.x))
+    node.start_stream(cam)
+    node.wait(timeout=30)
+    node.stop()
+    assert len(vels) >= 5
+    assert abs(np.mean(vels[2:]) - gt) < 0.01
+
+
+def test_topic_mode_and_depth_node():
+    bus = Bus()
+    node = FlowNode(
+        make_farneback_backend(levels=1, winsize=11, iterations=1),
+        NodeParams(pixel_to_meter=1.0, name="FB2", aggregate="median"),
+    ).attach(bus)
+    DepthNode(bus, depth_scale=0.001)
+
+    vels = []
+    bus.subscribe("/optical_flow/FB2_velocity", lambda m: vels.append(m))
+    depth_vals = []
+    bus.subscribe("/camera/depth/median_distance", lambda m: depth_vals.append(m.range))
+
+    # depth image -> median distance -> updates pixel_to_meter via fx
+    from opticalflowcontainer_tpu.runtime.messages import CameraInfoMsg
+
+    bus.publish("/camera/color/camera_info", CameraInfoMsg(Header(0.0), fx=500.0))
+    depth = np.full((100, 100), 2000, np.uint16)
+    bus.publish(
+        "/camera/aligned_depth_to_color/image_raw",
+        ImageMsg(Header(0.0), depth, "16UC1"),
+    )
+    assert depth_vals == [2.0]
+    assert abs(node.vel.pixel_to_meter - 2.0 / 500.0) < 1e-12
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (64, 64, 3)).astype(np.uint8)
+    bus.publish("/camera/color/image_raw", ImageMsg(Header(1.0), img))
+    bus.publish("/camera/color/image_raw", ImageMsg(Header(1.1), img))
+    assert len(vels) == 1  # first frame primes, second estimates
+
+
+def test_junction_masked_node_sync():
+    bus = Bus()
+    node = JunctionMaskFlowNode(
+        lambda prev, cur, dt: np.tile(
+            np.array([2.0, 0.0], np.float32), (prev.shape[0], prev.shape[1], 1)
+        ),
+        NodeParams(pixel_to_meter=1.0, name="J"),
+    ).attach(bus)
+    vels = []
+    bus.subscribe("/optical_flow/J_velocity", lambda m: vels.append(m.x))
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (32, 32, 3)).astype(np.uint8)
+    pts = np.array([[16.0, 16.0]], np.float32)
+    for t in (1.0, 2.0):
+        bus.publish("/camera/color/image_raw", ImageMsg(Header(t), img))
+        bus.publish("/junction_detector/junctions", PointCloudMsg(Header(t + 0.004), pts))
+    assert len(vels) == 1
+    assert abs(vels[0] - 2.0) < 1e-6
