@@ -301,3 +301,37 @@ def make_model_backend(estimate_fn):
         return np.asarray(estimate_fn(to3(prev), to3(cur)))
 
     return backend
+
+
+class JunctionDetectorNode:
+    """Image in -> junction PointCloud out (the C++ detector's node wrapper;
+    reference fishnet_detector_ros.cpp:29-93).  Publishes only when >= 4
+    junctions are found, like the reference."""
+
+    def __init__(self, bus: Bus, grid_area: float = 200.0, area_tol: float = 2.0,
+                 cluster_eps: float = 6.0, min_publish: int = 4,
+                 direct: bool = True, force_python: bool = False):
+        from ..native import detect_junctions
+
+        self._detect = detect_junctions
+        self.bus = bus
+        self.grid_area = grid_area
+        self.area_tol = area_tol
+        self.cluster_eps = cluster_eps
+        self.min_publish = min_publish
+        self.force_python = force_python
+        self._sub = bus.subscribe("/camera/color/image_raw", self._callback,
+                                  direct=direct)
+
+    def _callback(self, msg: ImageMsg):
+        img = msg.data
+        if img.ndim != 3 or img.shape[2] != 3:
+            return
+        pts = self._detect(
+            img, grid_area=self.grid_area, area_tol=self.area_tol,
+            cluster_eps=self.cluster_eps, force_python=self.force_python,
+        )
+        if len(pts) >= self.min_publish:
+            self.bus.publish(
+                "/junction_detector/junctions", PointCloudMsg(msg.header, pts)
+            )
