@@ -15,23 +15,53 @@ Gather-based (one ``take`` per axis), fully static shapes, works on
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
-def _axis_coords(dst: int, src: int, align_corners: bool) -> jax.Array:
-    i = jnp.arange(dst, dtype=jnp.float32)
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _axis_coords_np(dst: int, src: int, align_corners: bool) -> np.ndarray:
+    i = np.arange(dst, dtype=np.float64)
     if align_corners and dst > 1:
         return i * ((src - 1) / (dst - 1))
-    scale = src / dst
-    return (i + 0.5) * scale - 0.5
+    return (i + 0.5) * (src / dst) - 0.5
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(dst: int, src: int, align_corners: bool) -> np.ndarray:
+    """[dst, src] bilinear interpolation matrix (2 nonzeros per row) — lets
+    the TPU do resize as an MXU matmul instead of a gather."""
+    c = _axis_coords_np(dst, src, align_corners)
+    c0 = np.floor(c)
+    w1 = c - c0
+    i0 = np.clip(c0.astype(np.int64), 0, src - 1)
+    i1 = np.clip(c0.astype(np.int64) + 1, 0, src - 1)
+    M = np.zeros((dst, src), np.float32)
+    rows = np.arange(dst)
+    np.add.at(M, (rows, i0), 1.0 - w1)
+    np.add.at(M, (rows, i1), w1)
+    return M
 
 
 def _resize_axis(x: jax.Array, axis: int, dst: int, align_corners: bool) -> jax.Array:
     src = x.shape[axis]
     if src == dst:
         return x
-    c = _axis_coords(dst, src, align_corners)
+    if _on_tpu():
+        M = jnp.asarray(_interp_matrix(dst, src, align_corners))
+        x = jnp.moveaxis(x, axis, -1)
+        out = jnp.einsum("...j,oj->...o", x, M, preferred_element_type=jnp.float32)
+        return jnp.moveaxis(out, -1, axis).astype(x.dtype)
+    c = jnp.asarray(_axis_coords_np(dst, src, align_corners), jnp.float32)
     c0 = jnp.floor(c)
     w1 = (c - c0).astype(x.dtype)
     c0i = c0.astype(jnp.int32)
