@@ -1,0 +1,80 @@
+"""Per-process resource monitor (reference scripts/monitor.sh capability):
+sample CPU% and RSS of named processes at 1 Hz into per-process CSV logs.
+
+Usage: python -m opticalflowcontainer_tpu.tools.monitor name1 name2 --duration 60
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def _find_pids(name: str) -> list[int]:
+    pids = []
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\x00", b" ").decode(errors="replace")
+            if name in cmd:
+                pids.append(int(pid))
+        except OSError:
+            continue
+    return pids
+
+
+def _sample(pid: int):
+    with open(f"/proc/{pid}/stat") as f:
+        parts = f.read().split()
+    utime, stime = int(parts[13]), int(parts[14])
+    with open(f"/proc/{pid}/statm") as f:
+        rss_pages = int(f.read().split()[1])
+    return utime + stime, rss_pages * os.sysconf("SC_PAGE_SIZE")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="+", help="process name substrings to track")
+    ap.add_argument("--duration", type=float, default=60.0)
+    ap.add_argument("--interval", type=float, default=1.0)
+    ap.add_argument("--out-dir", default=".")
+    args = ap.parse_args(argv)
+
+    hz = os.sysconf("SC_CLK_TCK")
+    files = {}
+    last: dict[int, float] = {}
+    t_end = time.time() + args.duration
+    while time.time() < t_end:
+        for name in args.names:
+            for pid in _find_pids(name):
+                if pid == os.getpid():
+                    continue
+                try:
+                    ticks, rss = _sample(pid)
+                except OSError:
+                    continue
+                key = (name, pid)
+                if key not in files:
+                    path = os.path.join(args.out_dir, f"cpu_usage_{name}_{pid}.log")
+                    files[key] = open(path, "w")
+                    files[key].write("timestamp,cpu_pct,rss_mb\n")
+                now = time.time()
+                cpu_pct = 0.0
+                if pid in last:
+                    dt_ticks = ticks - last[pid][0]
+                    dt_wall = now - last[pid][1]
+                    cpu_pct = 100.0 * dt_ticks / hz / max(dt_wall, 1e-6)
+                last[pid] = (ticks, now)
+                files[key].write(f"{now:.3f},{cpu_pct:.1f},{rss / 1e6:.1f}\n")
+                files[key].flush()
+        time.sleep(args.interval)
+    for f in files.values():
+        f.close()
+    print(f"monitored {len(files)} process(es)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

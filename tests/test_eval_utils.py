@@ -1,0 +1,35 @@
+"""Eval metrics / .flo IO / synthetic GT correctness tests."""
+import numpy as np
+
+from opticalflowcontainer_tpu.eval import epe, epe_stats, outlier_rate, synthetic_eval_pairs
+from opticalflowcontainer_tpu.utils import read_flo, write_flo
+
+
+def test_epe_metrics():
+    gt = np.zeros((4, 4, 2), np.float32)
+    flow = gt.copy()
+    flow[..., 0] = 3.0
+    assert abs(epe(flow, gt) - 3.0) < 1e-6
+    stats = epe_stats(flow, gt)
+    assert stats["3px"] == 0.0 and stats["5px"] == 1.0
+    assert outlier_rate(flow, gt) == 0.0  # epe==3 not > 3
+
+
+def test_flo_roundtrip(tmp_path, rng):
+    flow = rng.standard_normal((7, 9, 2)).astype(np.float32)
+    p = str(tmp_path / "x.flo")
+    write_flo(p, flow)
+    back = read_flo(p)
+    np.testing.assert_array_equal(back, flow)
+
+
+def test_synthetic_gt_consistent_with_farneback(rng):
+    """The synthetic eval GT must agree with what a good estimator finds."""
+    from opticalflowcontainer_tpu.classical import calc_optical_flow_farneback
+
+    img1, img2, gt, _ = synthetic_eval_pairs(n=1, H=120, W=160, seed=3)[0]
+    g1 = (img1[..., 0] * 255).astype(np.float32)
+    g2 = (img2[..., 0] * 255).astype(np.float32)
+    flow = np.asarray(calc_optical_flow_farneback(g1, g2))
+    inner = (slice(16, -16), slice(16, -16))
+    assert epe(flow[inner], gt[inner]) < 0.4
