@@ -165,6 +165,15 @@ class FlowNode:
     def _process(self, msg: ImageMsg, mask: np.ndarray | None = None):
         t0 = time.perf_counter()
         frame = msg.data
+        if msg.encoding in ("jpeg", "compressed"):
+            # CompressedImage path (reference opticalflow_comprerssed_node.py:44-49)
+            import cv2
+
+            frame = cv2.imdecode(
+                np.frombuffer(frame, np.uint8), cv2.IMREAD_COLOR
+            )
+            if frame is None:
+                return
         if frame.ndim == 3:
             gray = frame.mean(axis=-1).astype(np.float32) if frame.shape[-1] == 3 else frame[..., 0]
         else:
