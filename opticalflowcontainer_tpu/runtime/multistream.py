@@ -1,0 +1,131 @@
+"""Multi-stream batched inference: N camera streams saturating one chip
+(BASELINE config 5: 2x1080p@60fps decode->pyramid->flow->velocity).
+
+Architecture (TPU-first redesign of the reference's one-process-per-model
+concurrency): each stream keeps a latest-frame-pair slot; a single batcher
+thread snapshots all ready pairs, stacks them into one [N, H, W] batch and
+runs ONE vmapped jitted flow call — the device sees a single large program
+instead of N small ones, and per-stream velocities are published from the
+batched result.  Streams must share a resolution (static shapes; one compile).
+"""
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Sequence
+
+import numpy as np
+
+from .bus import Bus
+from .messages import Header, Vector3StampedMsg
+from .velocity import VelocityEstimator
+
+
+class _StreamSlot:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.prev: tuple[np.ndarray, float] | None = None
+        self.pair: tuple[np.ndarray, np.ndarray, float, float] | None = None
+
+    def push(self, gray: np.ndarray, stamp: float):
+        with self.lock:
+            if self.prev is not None:
+                self.pair = (self.prev[0], gray, self.prev[1], stamp)
+            self.prev = (gray, stamp)
+
+    def take(self):
+        with self.lock:
+            pair, self.pair = self.pair, None
+            return pair
+
+
+class MultiStreamFlow:
+    """``batched_backend``: (prev [N,H,W], cur [N,H,W]) -> flow [N,H,W,2]
+    (e.g. a jitted ``classical.farneback_batched``).  Each stream i publishes
+    /optical_flow/<name><i>_velocity on the shared bus."""
+
+    def __init__(
+        self,
+        bus: Bus,
+        batched_backend: Callable,
+        n_streams: int,
+        pixel_to_meter: float = 0.000566,
+        name: str = "STREAM",
+        aggregate: str = "mean",
+    ):
+        self.bus = bus
+        self.backend = batched_backend
+        self.slots = [_StreamSlot() for _ in range(n_streams)]
+        self.vels = [
+            VelocityEstimator(pixel_to_meter, aggregate) for _ in range(n_streams)
+        ]
+        self.name = name
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        self.batches = 0
+        self.fields = 0
+
+    def push_frame(self, stream: int, frame: np.ndarray, stamp: float):
+        gray = (
+            frame.mean(axis=-1).astype(np.float32)
+            if frame.ndim == 3
+            else frame.astype(np.float32)
+        )
+        self.slots[stream].push(gray, stamp)
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5.0)
+
+    def _run(self):
+        while not self._stop.is_set():
+            ready = [(i, p) for i, p in
+                     ((i, s.take()) for i, s in enumerate(self.slots)) if p]
+            if not ready:
+                time.sleep(0.001)
+                continue
+            idxs = [i for i, _ in ready]
+            prev = np.stack([p[0] for _, p in ready])
+            cur = np.stack([p[1] for _, p in ready])
+            flows = np.asarray(self.backend(prev, cur))
+            self.batches += 1
+            self.fields += len(idxs)
+            for k, (i, (_, _, t0, t1)) in enumerate(ready):
+                dt = t1 - t0
+                vx, vx_s, _ = self.vels[i].update(flows[k], dt)
+                self.bus.publish(
+                    f"/optical_flow/{self.name}{i}_velocity",
+                    Vector3StampedMsg(Header(t1), vx),
+                )
+                self.bus.publish(
+                    f"/optical_flow/{self.name}{i}_smooth_velocity",
+                    Vector3StampedMsg(Header(t1), vx_s),
+                )
+
+
+def make_batched_farneback(n_streams: int, **kwargs):
+    """Jitted batched Farneback backend for MultiStreamFlow.  Pads the batch
+    to ``n_streams`` so one compile covers any ready-subset size."""
+    import functools
+
+    import jax
+
+    from ..classical import farneback_batched
+
+    fn = jax.jit(functools.partial(farneback_batched, **kwargs))
+
+    def backend(prev, cur):
+        n = prev.shape[0]
+        if n < n_streams:
+            pad = np.repeat(prev[-1:], n_streams - n, axis=0)
+            prev = np.concatenate([prev, pad])
+            cur = np.concatenate([cur, np.repeat(cur[-1:], n_streams - n, axis=0)])
+        return np.asarray(fn(prev, cur))[:n]
+
+    return backend

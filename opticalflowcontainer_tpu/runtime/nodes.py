@@ -300,14 +300,17 @@ def make_farneback_backend(**kwargs):
 
 def make_model_backend(estimate_fn):
     """Wrap a model ``estimate``-style callable (img1, img2) -> flow.  Expects
-    float [0,1] BGR NHWC images; grayscale inputs are stacked to 3 channels."""
+    float [0,1] BGR NHWC images; grayscale inputs are stacked to 3 channels.
+    NaN/Inf outputs are scrubbed to zero (the reference does the same for its
+    fp16 NeuFlow path, reference neuflow_node.py:145)."""
 
     def backend(prev, cur, dt):
         def to3(x):
             x = x.astype(np.float32) / 255.0
             return np.repeat(x[..., None], 3, -1) if x.ndim == 2 else x
 
-        return np.asarray(estimate_fn(to3(prev), to3(cur)))
+        flow = np.asarray(estimate_fn(to3(prev), to3(cur)))
+        return np.nan_to_num(flow, nan=0.0, posinf=0.0, neginf=0.0)
 
     return backend
 

@@ -1,0 +1,80 @@
+"""Multi-stream batched inference + checkpoint/resume tests."""
+import time
+
+import numpy as np
+import pytest
+
+
+def test_multistream_batched_velocities():
+    from opticalflowcontainer_tpu.runtime import Bus
+    from opticalflowcontainer_tpu.runtime.multistream import (
+        MultiStreamFlow,
+        make_batched_farneback,
+    )
+
+    bus = Bus()
+    n = 3
+    ms = MultiStreamFlow(
+        bus,
+        make_batched_farneback(n, levels=1, winsize=11, iterations=1),
+        n_streams=n,
+        pixel_to_meter=1.0,
+    )
+    got = {i: [] for i in range(n)}
+    for i in range(n):
+        bus.subscribe(
+            f"/optical_flow/STREAM{i}_velocity",
+            lambda m, _i=i: got[_i].append(m.x),
+        )
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (80, 120)).astype(np.float32)
+    import cv2
+
+    base = cv2.GaussianBlur(base, (0, 0), 2)
+    shifts = [1.0, 2.0, -1.0]  # px/frame per stream
+
+    # warm the jit (full batch and a partial batch) before streaming
+    ms.backend(np.stack([base] * n), np.stack([base] * n))
+    ms.backend(base[None], base[None])
+
+    ms.start()
+    try:
+        for f in range(5):
+            for i in range(n):
+                frame = np.roll(base, int(round(f * shifts[i])), axis=1)
+                ms.push_frame(i, frame, stamp=float(f))  # dt = 1s
+            time.sleep(0.5)
+    finally:
+        ms.stop()
+
+    for i in range(n):
+        assert len(got[i]) >= 2, f"stream {i} published too few velocities"
+        # dt=1, p2m=1 => velocity == px/frame shift
+        assert abs(np.mean(got[i][1:]) - shifts[i]) < 0.3, (i, got[i])
+    assert ms.fields >= 6
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    from opticalflowcontainer_tpu.models import RAFTSmall
+    from opticalflowcontainer_tpu.parallel import make_train_state
+    from opticalflowcontainer_tpu.parallel.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model = RAFTSmall()
+    state, _ = make_train_state(model, jax.random.PRNGKey(0), img_shape=(32, 32))
+    d = str(tmp_path / "ckpts")
+    assert latest_checkpoint(d) is None
+    save_checkpoint(d, state, step=3)
+    save_checkpoint(d, state._replace(step=state.step + 7), step=7)
+    assert latest_checkpoint(d).endswith("step_00000007")
+    restored = restore_checkpoint(d, state)
+    leaves0 = jax.tree_util.tree_leaves(state.params)
+    leaves1 = jax.tree_util.tree_leaves(restored.params)
+    assert len(leaves0) == len(leaves1)
+    np.testing.assert_allclose(np.asarray(leaves0[0]), np.asarray(leaves1[0]))
