@@ -10,7 +10,7 @@ These carry the capability of the reference's classical nodes
 scripts/monitor.sh:16-20 of the reference; BASELINE.json configs 1-3 make them
 first-class requirements).
 """
-from .farneback import calc_optical_flow_farneback, farneback_batched
+from .farneback import calc_optical_flow_farneback, farneback_batched, farneback_clip
 from .lucas_kanade import calc_optical_flow_pyr_lk
 
 OPTFLOW_USE_INITIAL_FLOW = 4
@@ -19,6 +19,7 @@ OPTFLOW_FARNEBACK_GAUSSIAN = 256
 __all__ = [
     "calc_optical_flow_farneback",
     "farneback_batched",
+    "farneback_clip",
     "calc_optical_flow_pyr_lk",
     "OPTFLOW_USE_INITIAL_FLOW",
     "OPTFLOW_FARNEBACK_GAUSSIAN",

@@ -277,3 +277,10 @@ def farneback_batched(
     clips); jit-wrap at the call site with static kwargs."""
     fn = functools.partial(calc_optical_flow_farneback, **kwargs)
     return jax.vmap(fn)(prev, next)
+
+
+def farneback_clip(frames: jax.Array, **kwargs) -> jax.Array:
+    """Dense flow over a clip: [T, H, W] -> [T-1, H, W, 2] for consecutive
+    pairs, as one batched program (BASELINE config 3: batched Farneback over
+    30-frame 720p clips)."""
+    return farneback_batched(frames[:-1], frames[1:], **kwargs)

@@ -1,0 +1,127 @@
+"""Flow eval harness CLI: EPE tables for any method over Sintel / KITTI /
+synthetic data (fills the reference's missing benchmark numbers, SURVEY.md §6).
+
+  python -m opticalflowcontainer_tpu.eval.run_eval --method farneback --cpu
+  python -m opticalflowcontainer_tpu.eval.run_eval --method raft --sintel /data/sintel
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _make_method(name: str, ckpt: str | None, quick: bool):
+    import numpy as np
+
+    if name == "farneback":
+        import functools
+
+        import jax
+
+        from ..classical import calc_optical_flow_farneback
+
+        fn = jax.jit(functools.partial(calc_optical_flow_farneback))
+
+        def run(img1, img2):
+            g1 = (img1[..., :3].mean(-1) * 255).astype(np.float32)
+            g2 = (img2[..., :3].mean(-1) * 255).astype(np.float32)
+            return np.asarray(fn(g1, g2))
+
+        return run
+    if name in ("raft", "pwcnet", "neuflow"):
+        import jax
+
+        if name == "raft":
+            from ..models import RAFTSmall
+            from ..models.raft import estimate
+
+            model = RAFTSmall()
+
+            def run(img1, img2):
+                run.params = getattr(run, "params", None) or model.init(
+                    jax.random.PRNGKey(0), img1[:64, :64], img2[:64, :64], 2
+                )
+                return np.asarray(estimate(model, run.params, img1, img2,
+                                           iters=4 if quick else 12))
+
+            return run
+        if name == "pwcnet":
+            from ..models import PWCNet
+            from ..models.pwcnet import estimate as pwc_estimate
+            from ..models.convert import convert_pwcnet
+
+            model = PWCNet()
+
+            def run(img1, img2):
+                if not hasattr(run, "params"):
+                    if ckpt:
+                        import torch
+
+                        sd = torch.load(ckpt, map_location="cpu")
+                        run.params = convert_pwcnet(
+                            {k: v.numpy() for k, v in sd.items()}
+                        )
+                    else:
+                        run.params = model.init(jax.random.PRNGKey(0), img1, img2)
+                return np.asarray(pwc_estimate(model, run.params, img1, img2))
+
+            return run
+    raise SystemExit(f"unknown method {name}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--method", default="farneback")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--sintel", default=None, help="MPI-Sintel root")
+    ap.add_argument("--kitti", default=None, help="KITTI-2015 root")
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from .datasets import KittiFlowDataset, SintelDataset, synthetic_eval_pairs
+    from .epe import epe_stats, outlier_rate
+
+    if args.sintel:
+        data = SintelDataset(args.sintel)
+        pairs = [data[i] for i in range(min(len(data), args.n))]
+        src = "sintel"
+    elif args.kitti:
+        data = KittiFlowDataset(args.kitti)
+        pairs = [data[i] for i in range(min(len(data), args.n))]
+        src = "kitti"
+    else:
+        pairs = synthetic_eval_pairs(args.n)
+        src = "synthetic"
+    if not pairs:
+        raise SystemExit(f"no eval pairs found for {src}")
+
+    run = _make_method(args.method, args.ckpt, args.quick)
+    all_stats = []
+    t_total = 0.0
+    for img1, img2, gt, valid in pairs:
+        t0 = time.perf_counter()
+        flow = run(img1, img2)
+        t_total += time.perf_counter() - t0
+        s = epe_stats(flow, gt, valid)
+        s["fl_all"] = outlier_rate(flow, gt, valid)
+        all_stats.append(s)
+
+    agg = {k: float(np.mean([s[k] for s in all_stats])) for k in all_stats[0]}
+    agg.update(method=args.method, dataset=src, n=len(pairs),
+               sec_per_pair=t_total / len(pairs))
+    print(json.dumps(agg, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

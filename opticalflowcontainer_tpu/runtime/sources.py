@@ -154,3 +154,48 @@ class FrameDirectorySource(_BaseSource):
 
         for f in self.files:
             yield cv2.imread(f)
+
+
+class RealSenseSource(_BaseSource):
+    """Live RealSense camera source (the reference's primary input,
+    reference lfn3_node.py:102-142).  Requires ``pyrealsense2`` — unavailable
+    in CI/TPU pods, so construction raises a clear error there; the synthetic
+    / video / directory sources are the drop-in stand-ins (SURVEY.md §4
+    fake-backend strategy)."""
+
+    def __init__(self, bus: Bus | None = None, width: int = 640, height: int = 480,
+                 fps: float = 30.0):
+        try:
+            import pyrealsense2 as rs  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "pyrealsense2 not available; use SyntheticCamera / "
+                "VideoFileSource / FrameDirectorySource instead"
+            ) from e
+        super().__init__(bus, fps)
+        self.width = width
+        self.height = height
+
+    def frames(self):  # pragma: no cover - requires hardware
+        import numpy as np
+        import pyrealsense2 as rs
+
+        pipeline = rs.pipeline()
+        cfg = rs.config()
+        cfg.enable_stream(rs.stream.color, self.width, self.height,
+                          rs.format.bgr8, int(self.fps))
+        profile = pipeline.start(cfg)
+        intr = (
+            profile.get_stream(rs.stream.color)
+            .as_video_stream_profile()
+            .get_intrinsics()
+        )
+        self.fx = intr.fx
+        try:
+            while True:
+                frames = pipeline.wait_for_frames()
+                color = frames.get_color_frame()
+                if color:
+                    yield np.asanyarray(color.get_data())
+        finally:
+            pipeline.stop()
