@@ -136,19 +136,22 @@ def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array
     wy = (fy - y0)[..., None]
     xc = jnp.clip(x0i, 0, W - 2)
     yc = jnp.clip(y0i, 0, H - 2)
-    flatR1 = R1.reshape(H * W, 5)
 
-    def tap(iy, ix):
-        # take_along_axis with a broadcast [HW, 1] index is the fast TPU row
-        # gather (~30x faster than jnp.take on v5e)
-        lin = (iy * W + ix).reshape(H * W, 1)
-        return jnp.take_along_axis(flatR1, lin, axis=0).reshape(H, W, 5)
-
+    # Pack the 2x2 bilinear taps into one 20-channel image so the warp is ONE
+    # row gather instead of four (take_along_axis with a broadcast [HW, 1]
+    # index is the fast TPU gather form — ~30x faster than jnp.take on v5e,
+    # and a single wide gather amortizes its per-row cost).
+    right = jnp.concatenate([R1[:, 1:], R1[:, -1:]], axis=1)
+    down = jnp.concatenate([R1[1:], R1[-1:]], axis=0)
+    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
+    packed = jnp.concatenate([R1, right, down, downright], axis=-1)  # [H, W, 20]
+    lin = (yc * W + xc).reshape(H * W, 1)
+    g = jnp.take_along_axis(packed.reshape(H * W, 20), lin, axis=0).reshape(H, W, 4, 5)
     R1s = (
-        tap(yc, xc) * (1 - wx) * (1 - wy)
-        + tap(yc, xc + 1) * wx * (1 - wy)
-        + tap(yc + 1, xc) * (1 - wx) * wy
-        + tap(yc + 1, xc + 1) * wx * wy
+        g[..., 0, :] * (1 - wx) * (1 - wy)
+        + g[..., 1, :] * wx * (1 - wy)
+        + g[..., 2, :] * (1 - wx) * wy
+        + g[..., 3, :] * wx * wy
     )
 
     # A terms: average of the two frames when the sample is valid, frame0 only
