@@ -1,0 +1,56 @@
+"""Sharded batched inference over the ICI mesh (shard_map + collectives).
+
+The streaming runtime scales across chips by sharding the frame-pair batch on
+the mesh 'data' axis with ``shard_map``; per-chip flow stays local (no
+communication on the hot path) and only the scalar velocity aggregation rides
+an ICI ``psum`` — the TPU-native replacement for the reference's
+one-process-per-model concurrency (SURVEY.md §2.3 mapping table).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def make_sharded_flow_fn(flow_fn: Callable, mesh: Mesh):
+    """``flow_fn``: (prev [b, H, W], cur [b, H, W]) -> flow [b, H, W, 2]
+    per-chip.  Returns a jitted fn over the global batch (sharded on 'data')
+    that yields (flow [B, H, W, 2] sharded, mean_u scalar psum-reduced)."""
+
+    def local(prev, cur):
+        flow = flow_fn(prev, cur)
+        # global mean of u across all chips: ICI collective
+        local_sum = jnp.sum(flow[..., 0])
+        local_n = jnp.asarray(flow[..., 0].size, jnp.float32)
+        gsum = jax.lax.psum(local_sum, "data")
+        gn = jax.lax.psum(local_n, "data")
+        return flow, gsum / gn
+
+    shmapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P()),
+    )
+    return jax.jit(shmapped)
+
+
+def make_spatial_sharded_flow_fn(flow_fn: Callable, mesh: Mesh):
+    """Big-frame variant: batch on 'data' AND image height on 'model' using
+    jit sharding constraints (XLA SPMD inserts the conv/warp halo exchanges,
+    unlike shard_map which would need manual halos)."""
+    from jax.sharding import NamedSharding
+
+    img_s = NamedSharding(mesh, P("data", "model"))
+
+    @functools.partial(jax.jit, out_shardings=None)
+    def run(prev, cur):
+        prev = jax.lax.with_sharding_constraint(prev, img_s)
+        cur = jax.lax.with_sharding_constraint(cur, img_s)
+        return flow_fn(prev, cur)
+
+    return run
