@@ -131,7 +131,9 @@ def warp_half_pixel(img: jax.Array, flow: jax.Array) -> jax.Array:
     exact scaling.
     """
     H, W = img.shape[-3], img.shape[-2]
-    scale = jnp.asarray([W / (W - 1.0), H / (H - 1.0)], img.dtype)
+    sx = W / (W - 1.0) if W > 1 else 1.0
+    sy = H / (H - 1.0) if H > 1 else 1.0
+    scale = jnp.asarray([sx, sy], img.dtype)
     return warp_bilinear(img, flow * scale, padding="zeros")
 
 

@@ -156,3 +156,21 @@ class LiteFlowNet(nn.Module):
                 im1[i], im2[i], feats1[i], flow
             )
         return flow * 20.0
+
+
+def _pad_to(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def estimate(model: "LiteFlowNet", params, img1: jax.Array, img2: jax.Array) -> jax.Array:
+    """The reference node's pre/post contract (reference
+    opticalflow_node.py:71-95 / lfn3_sub_node.py:181-199): resize the inputs
+    to multiples of 32, run the net, bilinear-resize the flow to the input
+    size and rescale u, v by the width/height ratios."""
+    H, W = img1.shape[0], img1.shape[1]
+    Hp, Wp = _pad_to(H, 32), _pad_to(W, 32)
+    i1 = resize_bilinear(img1, (Hp, Wp), channel_last=True)
+    i2 = resize_bilinear(img2, (Hp, Wp), channel_last=True)
+    flow = model.apply(params, i1, i2)
+    flow = resize_bilinear(flow, (H, W), channel_last=True)
+    return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)

@@ -162,3 +162,20 @@ class LiteFlowNet3(nn.Module):
             if rconf is not None:
                 conf = rconf
         return flow * 20.0
+
+
+def _pad_to(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def estimate(model: "LiteFlowNet3", params, img1: jax.Array, img2: jax.Array) -> jax.Array:
+    """Reference lfn3 node contract (reference lfn3_sub_node.py:181-199):
+    resize inputs to multiples of 32, forward, resize the quarter-res flow to
+    the input size, rescale u and v."""
+    H, W = img1.shape[0], img1.shape[1]
+    Hp, Wp = _pad_to(H, 32), _pad_to(W, 32)
+    i1 = resize_bilinear(img1, (Hp, Wp), channel_last=True)
+    i2 = resize_bilinear(img2, (Hp, Wp), channel_last=True)
+    flow = model.apply(params, i1, i2)
+    flow = resize_bilinear(flow, (H, W), channel_last=True)
+    return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)

@@ -180,3 +180,16 @@ def test_conv_bn_fusion(rng):
     np.testing.assert_allclose(
         np.asarray(ours).transpose(0, 3, 1, 2), ref, rtol=1e-4, atol=1e-4
     )
+
+
+def test_pwcnet_estimate_contract(rng):
+    """estimate(): odd input size -> full-res flow with u,v rescaled."""
+    from opticalflowcontainer_tpu.models.pwcnet import estimate
+
+    i1, i2 = _imgs(rng, 50, 70)
+    model = PWCNet()
+    params = model.init(jax.random.PRNGKey(0), np.zeros((64, 64, 3), np.float32),
+                        np.zeros((64, 64, 3), np.float32))
+    flow = np.asarray(estimate(model, params, i1, i2))
+    assert flow.shape == (50, 70, 2)
+    assert np.isfinite(flow).all()
