@@ -191,7 +191,6 @@ def bilateral_filter(
     num = jnp.zeros_like(img)
     den = jnp.zeros_like(img)
     inv_2sc = -0.5 / (sigma_color * sigma_color)
-    inv_2ss = -0.5 / (sigma_space * sigma_space)
     for i in range(d):
         for j in range(d):
             di, dj = i - r, j - r
@@ -204,7 +203,6 @@ def bilateral_filter(
             w = w_s * jnp.exp((nb - img) ** 2 * inv_2sc)
             num = num + w * nb
             den = den + w
-    del inv_2ss
     return num / den
 
 

@@ -24,7 +24,6 @@ from ..ops import local_correlation, unfold
 _FLOW_SCALE = {2: 10.0, 3: 5.0, 4: 2.5, 5: 1.25, 6: 0.625}
 _HEAD_K = {2: 7, 3: 5, 4: 5, 5: 3, 6: 3}
 _DIST_CH = {2: 49, 3: 25, 4: 25, 5: 9, 6: 9}
-_FEAT_CH = {2: 32, 3: 64, 4: 96, 5: 128, 6: 192}
 # mean-BGR subtraction constants (reference liteflownet.py:213-218)
 _MEAN_ONE = (0.411618, 0.434631, 0.454253)
 _MEAN_TWO = (0.410782, 0.433645, 0.452793)

@@ -57,7 +57,6 @@ def _bilinear_volume_sample(vol: jax.Array, x: jax.Array, y: jax.Array) -> jax.A
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
     flat = vol.reshape(H * W, H2 * W2)
-    src = jnp.arange(H * W)[:, None]
 
     def tap(iy, ix):
         ok = (iy >= 0) & (iy < H2) & (ix >= 0) & (ix < W2)
@@ -65,7 +64,6 @@ def _bilinear_volume_sample(vol: jax.Array, x: jax.Array, y: jax.Array) -> jax.A
         v = jnp.take_along_axis(flat, lin.reshape(H * W, T), axis=1).reshape(H, W, T)
         return jnp.where(ok, v, 0.0)
 
-    del src
     return (
         tap(y0i, x0i) * (1 - wx) * (1 - wy)
         + tap(y0i, x0i + 1) * wx * (1 - wy)
@@ -84,7 +82,6 @@ def corr_lookup(
     """
     H, W = flow.shape[0], flow.shape[1]
     r = radius
-    K = 2 * r + 1
     oy, ox = np.mgrid[-r : r + 1, -r : r + 1]
     oy = jnp.asarray(oy.reshape(-1), jnp.float32)
     ox = jnp.asarray(ox.reshape(-1), jnp.float32)
@@ -98,5 +95,4 @@ def corr_lookup(
         x = cx[..., None] * scale + ox
         y = cy[..., None] * scale + oy
         feats.append(_bilinear_volume_sample(vol, x, y))
-    del K
     return jnp.concatenate(feats, axis=-1)
