@@ -3,16 +3,17 @@
 Prints ONE JSON line:
   {"metric": "farneback_720p_fields_per_sec", "value": N, "unit": "fields/s",
    "vs_baseline": N / 1000}
-(baseline = the BASELINE.json north-star target of 1000 dense 720p fields/s/chip).
+(baseline = the BASELINE.json north-star target of 1000 dense 720p fields/s
+per chip — note that target assumes a full v5e at ~820 GB/s HBM; the axon
+tunnel slice used here measures ~78 GB/s streaming bandwidth and its XLA
+gather sustains only ~2.5-5 GB/s, which bounds the warp stage).
 
-Timing methodology: the axon remote runtime's ``block_until_ready`` does not
-actually block, so each timed call is chained through a data dependency on the
-previous result and a single scalar sync ends the region.  The in-jit
-reduction keeps device->host traffic to 4 bytes.  A persistent compilation
-cache is enabled because remote compiles through the tunnel are slow.
-
-``--quick`` uses a smaller batch/fewer reps; ``--json-only`` suppresses the
-human-readable lines.
+Timing methodology (measured facts about this environment, see CLAUDE.md):
+- axon's ``block_until_ready`` does not actually block and out-of-jit
+  reductions cost seconds, so the repetition loop lives INSIDE jit as a
+  ``lax.scan`` whose carry chains each iteration's output into the next
+  input, and ONE scalar sync ends the measurement;
+- a persistent compilation cache avoids the slow (20-300 s) remote compiles.
 """
 from __future__ import annotations
 
@@ -24,7 +25,7 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
-BASELINE_FIELDS_PER_SEC = 1000.0  # BASELINE.json north star (v5e target)
+BASELINE_FIELDS_PER_SEC = 1000.0  # BASELINE.json north star (full v5e)
 
 
 def main(argv=None):
@@ -33,6 +34,8 @@ def main(argv=None):
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--check-epe", action="store_true",
+                    help="also verify EPE vs cv2 on the device path")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -48,43 +51,61 @@ def main(argv=None):
 
     from opticalflowcontainer_tpu.classical import farneback_batched
 
-    B = args.batch or (2 if args.quick else 8)
-    reps = args.reps or (2 if args.quick else 6)
+    # B=1 is the measured-fastest per-field shape on the axon slice (XLA
+    # gather cost grows superlinearly with source size)
+    B = args.batch or 1
+    reps = args.reps or (3 if args.quick else 10)
     H, W = 720, 1280
 
-    def fb_checksum(a, b):
-        flow = farneback_batched(
-            a, b, pyr_scale=0.5, levels=3, winsize=15, iterations=3,
-            poly_n=5, poly_sigma=1.2,
-        )
-        return flow.sum(), flow[0, 0, 0, 0]
+    def bench_fn(a, b):
+        def body(carry, _):
+            flow = farneback_batched(
+                a + 0.0 * carry, b,
+                pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                poly_n=5, poly_sigma=1.2,
+            )
+            return flow.sum(), None
+        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        return s
 
-    fn = jax.jit(fb_checksum)
+    fn = jax.jit(bench_fn)
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
-    b = jnp.roll(a, 2, axis=2)
+    base = rng.uniform(0, 255, (B, H + 8, W + 8)).astype(np.float32)
+    a = jnp.asarray(base[:, 4 : 4 + H, 4 : 4 + W])
+    b = jnp.asarray(base[:, 4 : 4 + H, 2 : 2 + W])  # 2 px shift
 
     t0 = time.time()
-    s, _ = fn(a, b)
-    s0 = float(s)  # full sync
+    s0 = float(fn(a, b))
     compile_s = time.time() - t0
     if not args.json_only:
-        print(f"# backend={jax.default_backend()} B={B} compile+first={compile_s:.1f}s "
-              f"checksum={s0:.0f}", file=sys.stderr)
+        print(f"# backend={jax.default_backend()} B={B} reps={reps} "
+              f"compile+first={compile_s:.1f}s checksum={s0:.0f}", file=sys.stderr)
 
-    # timed region: chain reps calls by data dependency, one sync at the end
     t0 = time.time()
-    s = jnp.float32(0)
-    for _ in range(reps):
-        s, _ = fn(a + 0.0 * s, b)
-    _ = float(s)
+    _ = float(fn(a, b))
     elapsed = time.time() - t0
-    per_batch = elapsed / reps
-    fields_per_sec = B / per_batch
+    per_field = elapsed / (reps * B)
+    fields_per_sec = 1.0 / per_field
+
+    if args.check_epe and not args.json_only:
+        import cv2
+
+        f1 = np.asarray(a[0], np.float32).astype(np.uint8)
+        f2 = np.asarray(b[0], np.float32).astype(np.uint8)
+        ref = cv2.calcOpticalFlowFarneback(f1, f2, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+        ours = np.asarray(
+            jax.jit(
+                lambda x, y: farneback_batched(x, y, levels=3, winsize=15, iterations=3)
+            )(
+                jnp.asarray(f1, jnp.float32)[None], jnp.asarray(f2, jnp.float32)[None]
+            )
+        )[0]
+        epe = float(np.linalg.norm(ours - ref, axis=-1).mean())
+        print(f"# device EPE vs cv2: {epe:.4f} px", file=sys.stderr)
 
     if not args.json_only:
-        print(f"# per-batch {per_batch * 1000:.1f} ms | p50 batch latency ~ same "
-              f"(sequential chain)", file=sys.stderr)
+        print(f"# per-field {per_field * 1000:.1f} ms (p50 latency of the "
+              f"sequential per-field chain)", file=sys.stderr)
     print(json.dumps({
         "metric": "farneback_720p_fields_per_sec",
         "value": round(fields_per_sec, 2),

@@ -27,10 +27,17 @@ expansion"), with OpenCV's operating conventions so results match
     with sigma = (1/scale - 1)/2 then bilinear-resizing to round(size*scale)
     — NOT a pyrDown chain (this is what cv2 does, and it matters for parity).
 
-TPU notes: everything is expressed as separable convs + elementwise math on
-[H, W]-static shapes — XLA fuses the per-pixel algebra into the conv epilogues;
-``farneback_batched`` vmaps over leading dims so clip batches (BASELINE
-config 3) present one big fused program to the MXU/VPU.
+TPU-first design (all batch-native [..., H, W]; measured on v5e):
+
+- Every separable linear stage (pyramid blur+resize, polynomial expansion)
+  is a precomputed border-folded matrix, so each stage is bare MXU matmuls
+  with no pad/transpose copies.  The blur->resize pair per pyramid level is
+  ONE combined matrix per axis (exact — matrix product of the two operators),
+  so level images never materialize at full resolution.
+- The warp samples all four bilinear taps with ONE wide row gather
+  (take_along_axis, the fast TPU gather form) from a 20-channel tap-packed
+  field built once per level and reused across iterations.
+- Batching is explicit indexing, not vmap (vmapped gathers lower ~3x slower).
 """
 from __future__ import annotations
 
@@ -40,8 +47,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.filters import _sepconv, gaussian_kernel_1d
-from ..core.resize import resize_bilinear
+from ..core.filters import _sepconv, gaussian_kernel_1d, _on_tpu
+from ..core.resize import resize_bilinear, _interp_matrix
 
 OPTFLOW_USE_INITIAL_FLOW = 4
 OPTFLOW_FARNEBACK_GAUSSIAN = 256
@@ -50,6 +57,43 @@ OPTFLOW_FARNEBACK_GAUSSIAN = 256
 # before the normal equations are accumulated, so border pixels contribute
 # less to the blurred G/h fields.
 _BORDER_RAMP = np.array([0.14, 0.14, 0.4472, 0.4472, 0.4472], np.float32)
+
+
+# --------------------------------------------------------------- operators
+
+def _reflect101_idx(i: np.ndarray, n: int) -> np.ndarray:
+    i = np.abs(i)
+    i = np.where(i >= n, np.abs(2 * (n - 1) - i), i)
+    return np.clip(i, 0, n - 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _border_conv_matrix(n: int, k_bytes: bytes, border: str) -> np.ndarray:
+    """[n, n] matrix of a 1-D correlation with the border mode folded in:
+    out[i] = sum_t k[t] * x[map(i + t - r)]."""
+    k = np.frombuffer(k_bytes, np.float64)
+    r = len(k) // 2
+    M = np.zeros((n, n), np.float32)
+    rows = np.arange(n)
+    for t, kv in enumerate(k):
+        j = rows + t - r
+        j = _reflect101_idx(j, n) if border == "reflect101" else np.clip(j, 0, n - 1)
+        np.add.at(M, (rows, j), kv)
+    return M
+
+
+@functools.lru_cache(maxsize=None)
+def _prep_matrices(H: int, W: int, lh: int, lw: int, smooth_sz: int, sigma: float):
+    """Combined (bilinear resize) @ (reflect101 Gaussian blur) operator per
+    axis — the cv2 blur-full-res-then-resize pyramid stage as ONE exact matrix
+    product per axis."""
+    k = gaussian_kernel_1d(smooth_sz, sigma)
+    kb = np.asarray(k, np.float64).tobytes()
+    Bv = _border_conv_matrix(H, kb, "reflect101")
+    Bh = _border_conv_matrix(W, kb, "reflect101")
+    Rv = _interp_matrix(lh, H, False)
+    Rh = _interp_matrix(lw, W, False)
+    return (Rv @ Bv).astype(np.float32), (Rh @ Bh).astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -61,8 +105,6 @@ def _poly_exp_inverse(n: int, sigma: float) -> tuple[np.ndarray, ...]:
     g /= g.sum()
     xg = x * g
     xxg = x * x * g
-    # 6x6 moment matrix over basis {1, x, y, x^2, y^2, xy} with weights
-    # w(x,y)=g(x)g(y); only 4 distinct inverse elements are needed.
     m2 = float((x * x * g).sum())
     m4 = float((x**4 * g).sum())
     G = np.array(
@@ -76,31 +118,57 @@ def _poly_exp_inverse(n: int, sigma: float) -> tuple[np.ndarray, ...]:
         ]
     )
     invG = np.linalg.inv(G)
-    ig11 = invG[1, 1]  # b coefficient
-    ig03 = invG[0, 3]  # c <-> x^2 coupling
-    ig33 = invG[3, 3]  # x^2 coefficient
-    ig55 = invG[5, 5]  # xy coefficient
-    return g, xg, xxg, ig11, ig03, ig33, ig55
+    return g, xg, xxg, invG[1, 1], invG[0, 3], invG[3, 3], invG[5, 5]
 
 
-def poly_exp(img: jax.Array, n: int, sigma: float) -> jax.Array:
-    """Polynomial-expansion coefficients [H, W, 5] = (bx, by, axx, ayy, qxy)
-    where the local model is c + bx*dx + by*dy + axx*dx^2 + ayy*dy^2 + qxy*dx*dy
-    (dx right, dy down; qxy is the raw xy fit coefficient == 2*A_offdiag).
-    Border: replicate."""
-    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_inverse(n, float(sigma))
-    s0 = _sepconv(img, g, g, "replicate")
-    sx = _sepconv(img, xg, g, "replicate")
-    sy = _sepconv(img, g, xg, "replicate")
-    sxx = _sepconv(img, xxg, g, "replicate")
-    syy = _sepconv(img, g, xxg, "replicate")
-    sxy = _sepconv(img, xg, xg, "replicate")
+def _combine_poly(s0, sx, sy, sxx, syy, sxy, ig11, ig03, ig33, ig55):
     bx = ig11 * sx
     by = ig11 * sy
     axx = ig03 * s0 + ig33 * sxx
     ayy = ig03 * s0 + ig33 * syy
     qxy = ig55 * sxy
     return jnp.stack([bx, by, axx, ayy, qxy], axis=-1)
+
+
+def poly_exp(img: jax.Array, n: int, sigma: float) -> jax.Array:
+    """Polynomial-expansion coefficients [..., H, W, 5] =
+    (bx, by, axx, ayy, qxy): local model c + bx*dx + by*dy + axx*dx^2 +
+    ayy*dy^2 + qxy*dx*dy (dx right, dy down; qxy == 2*A_offdiag).
+    Border: replicate."""
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_inverse(n, float(sigma))
+    if _on_tpu():
+        H, W = img.shape[-2], img.shape[-1]
+        Vg, Vxg, Vxxg = (
+            jnp.asarray(
+                _border_conv_matrix(H, np.asarray(k, np.float64).tobytes(), "replicate")
+            )
+            for k in (g, xg, xxg)
+        )
+        Hg, Hxg, Hxxg = (
+            jnp.asarray(
+                _border_conv_matrix(W, np.asarray(k, np.float64).tobytes(), "replicate")
+            )
+            for k in (g, xg, xxg)
+        )
+        mm = functools.partial(jnp.einsum, precision="float32",
+                               preferred_element_type=jnp.float32)
+        tg = mm("oh,...hw->...ow", Vg, img)
+        txg = mm("oh,...hw->...ow", Vxg, img)
+        txxg = mm("oh,...hw->...ow", Vxxg, img)
+        s0 = mm("...hw,pw->...hp", tg, Hg)
+        sx = mm("...hw,pw->...hp", tg, Hxg)
+        sxx = mm("...hw,pw->...hp", tg, Hxxg)
+        sy = mm("...hw,pw->...hp", txg, Hg)
+        sxy = mm("...hw,pw->...hp", txg, Hxg)
+        syy = mm("...hw,pw->...hp", txxg, Hg)
+    else:
+        s0 = _sepconv(img, g, g, "replicate")
+        sx = _sepconv(img, xg, g, "replicate")
+        sy = _sepconv(img, g, xg, "replicate")
+        sxx = _sepconv(img, xxg, g, "replicate")
+        syy = _sepconv(img, g, xxg, "replicate")
+        sxy = _sepconv(img, xg, xg, "replicate")
+    return _combine_poly(s0, sx, sy, sxx, syy, sxy, ig11, ig03, ig33, ig55)
 
 
 def _border_weight(H: int, W: int, ramp: np.ndarray) -> np.ndarray:
@@ -117,9 +185,25 @@ def _border_weight(H: int, W: int, ramp: np.ndarray) -> np.ndarray:
     return wy[:, None] * wx[None, :]
 
 
-def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array:
-    """Per-pixel normal equations M = [G00, G01, G11, h1, h2] ([H, W, 5])."""
-    H, W = R0.shape[0], R0.shape[1]
+# ------------------------------------------------------------ per-iteration
+
+def _pack_taps(R1: jax.Array) -> jax.Array:
+    """[..., H, W, 5] -> [..., H, W, 20]: each pixel carries its 2x2
+    neighborhood (self, right, down, down-right) so the bilinear warp needs
+    only ONE row gather.  Flow-independent: build once per level, reuse
+    across iterations."""
+    right = jnp.concatenate([R1[..., :, 1:, :], R1[..., :, -1:, :]], axis=-2)
+    down = jnp.concatenate([R1[..., 1:, :, :], R1[..., -1:, :, :]], axis=-3)
+    downright = jnp.concatenate([down[..., :, 1:, :], down[..., :, -1:, :]], axis=-2)
+    return jnp.concatenate([R1, right, down, downright], axis=-1)
+
+
+def _update_matrices(R0: jax.Array, R1p: jax.Array, flow: jax.Array) -> jax.Array:
+    """Per-pixel normal equations M = [G00, G01, G11, h1, h2] ([..., H, W, 5])
+    from R0 and the tap-packed R1 (see :func:`_pack_taps`).  Batch-native."""
+    H, W = R0.shape[-3], R0.shape[-2]
+    batch = R0.shape[:-3]
+    B = int(np.prod(batch, dtype=np.int64)) if batch else 1
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     dx = flow[..., 0]
@@ -137,16 +221,15 @@ def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array
     xc = jnp.clip(x0i, 0, W - 2)
     yc = jnp.clip(y0i, 0, H - 2)
 
-    # Pack the 2x2 bilinear taps into one 20-channel image so the warp is ONE
-    # row gather instead of four (take_along_axis with a broadcast [HW, 1]
-    # index is the fast TPU gather form — ~30x faster than jnp.take on v5e,
-    # and a single wide gather amortizes its per-row cost).
-    right = jnp.concatenate([R1[:, 1:], R1[:, -1:]], axis=1)
-    down = jnp.concatenate([R1[1:], R1[-1:]], axis=0)
-    downright = jnp.concatenate([down[:, 1:], down[:, -1:]], axis=1)
-    packed = jnp.concatenate([R1, right, down, downright], axis=-1)  # [H, W, 20]
-    lin = (yc * W + xc).reshape(H * W, 1)
-    g = jnp.take_along_axis(packed.reshape(H * W, 20), lin, axis=0).reshape(H, W, 4, 5)
+    lin = (yc * W + xc).reshape(B, H * W)
+    lin = lin + (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
+    # on TPU the gather is the dominant cost and scales with source bytes:
+    # gather the taps in bf16 (the expansion coefficients tolerate it — the
+    # normal-equation math stays fp32), halving gather traffic
+    src = R1p.astype(jnp.bfloat16) if _on_tpu() else R1p
+    g = jnp.take_along_axis(
+        src.reshape(B * H * W, 20), lin.reshape(B * H * W, 1), axis=0
+    ).astype(jnp.float32).reshape(batch + (H, W, 4, 5))
     R1s = (
         g[..., 0, :] * (1 - wx) * (1 - wy)
         + g[..., 1, :] * wx * (1 - wy)
@@ -181,15 +264,24 @@ def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array) -> jax.Array
 
 def _solve_flow(M: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
     """Blur the normal-equation field over winsize and solve 2x2 per pixel."""
-    Mc = jnp.moveaxis(M, -1, 0)  # [5, H, W]
+    Mc = jnp.moveaxis(M, -1, 0)  # [5, ..., H, W]
     if gaussian:
         m = winsize // 2
         sigma = m * 0.3
         k = np.exp(-0.5 * (np.arange(-m, m + 1) / sigma) ** 2)
         k /= k.sum()
-        Mb = _sepconv(Mc, k, k, "replicate")
     else:
         k = np.ones(winsize, np.float64) / winsize
+    if _on_tpu():
+        H, W = M.shape[-3], M.shape[-2]
+        kb = np.asarray(k, np.float64).tobytes()
+        Bv = jnp.asarray(_border_conv_matrix(H, kb, "replicate"))
+        Bh = jnp.asarray(_border_conv_matrix(W, kb, "replicate"))
+        Mb = jnp.einsum("oh,c...hw->c...ow", Bv, Mc,
+                        preferred_element_type=jnp.float32)
+        Mb = jnp.einsum("c...hw,pw->c...hp", Mb, Bh,
+                        preferred_element_type=jnp.float32)
+    else:
         Mb = _sepconv(Mc, k, k, "replicate")
     G00, G01, G11, h1, h2 = Mb[0], Mb[1], Mb[2], Mb[3], Mb[4]
     idet = 1.0 / (G00 * G11 - G01 * G01 + 1e-3)
@@ -197,6 +289,8 @@ def _solve_flow(M: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
     v = (G00 * h2 - G01 * h1) * idet
     return jnp.stack([u, v], axis=-1)
 
+
+# ----------------------------------------------------------------- pyramid
 
 def _num_levels(H: int, W: int, levels: int, pyr_scale: float) -> int:
     """cv2 clamps the pyramid depth so the coarsest level stays >= ~32 px."""
@@ -228,9 +322,11 @@ def calc_optical_flow_farneback(
     flags: int = 0,
 ) -> jax.Array:
     """``cv2.calcOpticalFlowFarneback`` parity.  ``prev``/``next`` are
-    single-channel [H, W] images (uint8 range); returns flow [H, W, 2]
-    (u = x-displacement, v = y-displacement) mapping prev -> next."""
+    single-channel [..., H, W] images (uint8 range, any leading batch dims);
+    returns flow [..., H, W, 2] (u = x-displacement, v = y-displacement)
+    mapping prev -> next."""
     H, W = prev.shape[-2], prev.shape[-1]
+    batch = prev.shape[:-2]
     prev = prev.astype(jnp.float32)
     next = next.astype(jnp.float32)
     use_gauss = bool(flags & OPTFLOW_FARNEBACK_GAUSSIAN)
@@ -248,38 +344,48 @@ def calc_optical_flow_farneback(
             if use_init:
                 cur_flow = resize_bilinear(flow, (lh, lw), channel_last=True) * scale
             else:
-                cur_flow = jnp.zeros((lh, lw, 2), jnp.float32)
+                cur_flow = jnp.zeros(batch + (lh, lw, 2), jnp.float32)
         else:
             cur_flow = (
                 resize_bilinear(cur_flow, (lh, lw), channel_last=True) / pyr_scale
             )
 
-        def prep(img):
-            blurred = _sepconv(
-                img,
-                gaussian_kernel_1d(smooth_sz, sigma),
-                gaussian_kernel_1d(smooth_sz, sigma),
-                "reflect101",
-            )
-            return resize_bilinear(blurred, (lh, lw))
+        if _on_tpu():
+            Cv, Ch = _prep_matrices(H, W, lh, lw, smooth_sz, sigma)
+            Cv = jnp.asarray(Cv)
+            Ch = jnp.asarray(Ch)
+
+            def prep(img):
+                t = jnp.einsum("oh,...hw->...ow", Cv, img,
+                               preferred_element_type=jnp.float32)
+                return jnp.einsum("...hw,pw->...hp", t, Ch,
+                                  preferred_element_type=jnp.float32)
+        else:
+            def prep(img):
+                blurred = _sepconv(
+                    img,
+                    gaussian_kernel_1d(smooth_sz, sigma),
+                    gaussian_kernel_1d(smooth_sz, sigma),
+                    "reflect101",
+                )
+                return resize_bilinear(blurred, (lh, lw))
 
         R0 = poly_exp(prep(prev), poly_n, poly_sigma)
         R1 = poly_exp(prep(next), poly_n, poly_sigma)
+        R1p = _pack_taps(R1)
 
         for _ in range(iterations):
-            M = _update_matrices(R0, R1, cur_flow)
+            M = _update_matrices(R0, R1p, cur_flow)
             cur_flow = _solve_flow(M, winsize, use_gauss)
     return cur_flow
 
 
-def farneback_batched(
-    prev: jax.Array, next: jax.Array, **kwargs
-) -> jax.Array:
-    """vmap of :func:`calc_optical_flow_farneback` over one leading batch dim:
-    [B, H, W] x2 -> [B, H, W, 2].  The BASELINE config-3 entry point (batched
-    clips); jit-wrap at the call site with static kwargs."""
-    fn = functools.partial(calc_optical_flow_farneback, **kwargs)
-    return jax.vmap(fn)(prev, next)
+def farneback_batched(prev: jax.Array, next: jax.Array, **kwargs) -> jax.Array:
+    """Batched Farneback: [B, H, W] x2 -> [B, H, W, 2].  The implementation is
+    batch-native (NOT vmap — vmapped gathers lower ~3x slower on TPU), so this
+    is just the documented batch entry point (BASELINE config 3); jit-wrap at
+    the call site with static kwargs."""
+    return calc_optical_flow_farneback(prev, next, **kwargs)
 
 
 def farneback_clip(frames: jax.Array, **kwargs) -> jax.Array:
