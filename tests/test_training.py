@@ -1,0 +1,46 @@
+"""End-to-end training smoke: RAFT-small on synthetic translations — the
+sequence loss must drop substantially, proving gradients flow through the
+encoders, correlation volume, lookup gathers, and ConvGRU."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def _make_batch(rng, B=2, H=32, W=32, max_shift=3):
+    import cv2
+
+    img1 = np.zeros((B, H, W, 3), np.float32)
+    img2 = np.zeros((B, H, W, 3), np.float32)
+    flow = np.zeros((B, H, W, 2), np.float32)
+    for i in range(B):
+        base = cv2.GaussianBlur(
+            rng.uniform(0, 1, (H + 16, W + 16)).astype(np.float32), (0, 0), 1.5
+        )
+        dx = int(rng.integers(-max_shift, max_shift + 1))
+        img1[i] = np.repeat(base[8 : 8 + H, 8 : 8 + W, None], 3, -1)
+        img2[i] = np.repeat(base[8 - 0 : 8 + H, 8 - dx : 8 + W - dx, None], 3, -1)
+        flow[i, ..., 0] = dx
+    return {
+        "img1": jnp.asarray(img1),
+        "img2": jnp.asarray(img2),
+        "flow": jnp.asarray(flow),
+    }
+
+
+def test_raft_training_loss_decreases(rng):
+    from opticalflowcontainer_tpu.models import RAFTSmall
+    from opticalflowcontainer_tpu.parallel import make_train_state, train_step
+
+    model = RAFTSmall()
+    state, tx = make_train_state(model, jax.random.PRNGKey(0), img_shape=(32, 32), lr=1e-3)
+    step = jax.jit(lambda s, b: train_step(model, tx, s, b, iters=2))
+
+    batch = _make_batch(rng)
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert int(state.step) == 8
