@@ -66,6 +66,9 @@ def main(argv=None):
     node.start_stream(cam)
     node.wait(timeout=60)
     node.stop()
+    if not received:
+        print("no velocities produced (all frames dropped?)")
+        return 1
     print(
         f"processed {node.frames_processed} frames in {time.time() - t0:.2f}s; "
         f"final smooth vx = {received[-1].x:+.4f} m/s vs gt {args.velocity:+.4f}"

@@ -64,6 +64,10 @@ class FlowNode:
     plus image_live_feed / image_flow debug topics when enabled.
     Topics in (attach): /camera/color/image_raw, /camera/color/camera_info,
     /camera/depth/median_distance.
+
+    Calibration: ``params.pixel_to_meter`` seeds the estimator at construction;
+    at runtime it is owned by ``self.vel`` (updated dynamically from depth/fx
+    topics) — change ``node.vel.pixel_to_meter``, not ``node.p``, after init.
     """
 
     def __init__(self, backend: Callable, params: NodeParams | None = None,
