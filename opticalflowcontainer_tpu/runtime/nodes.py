@@ -351,3 +351,111 @@ class JunctionDetectorNode:
             self.bus.publish(
                 "/junction_detector/junctions", PointCloudMsg(msg.header, pts)
             )
+
+
+class LKVelocityNode:
+    """Sparse Lucas-Kanade velocity node: track good features between frames
+    and publish mean/median point displacement as metric velocity — the
+    reference's classical ``lucas_kanade_node`` capability (named by
+    scripts/monitor.sh:16-20; BASELINE config 2).
+
+    Corners are re-detected every ``redetect_every`` frames (cv2
+    goodFeaturesToTrack on host), tracked with the jitted pyramidal-LK in
+    between.  The point count is padded static so one compile serves the
+    stream.
+    """
+
+    def __init__(self, bus: Bus, params: NodeParams | None = None,
+                 max_corners: int = 200, redetect_every: int = 10,
+                 win_size: int = 21, max_level: int = 3, direct: bool = True):
+        self.bus = bus
+        self.p = params or NodeParams(name="LK", aggregate="median")
+        self.vel = VelocityEstimator(
+            self.p.pixel_to_meter, self.p.aggregate, self.p.smooth_window,
+            self.p.max_speed,
+        )
+        self.max_corners = max_corners
+        self.redetect_every = redetect_every
+        self.win_size = win_size
+        self.max_level = max_level
+        self._prev: tuple[np.ndarray, float] | None = None
+        self._pts: np.ndarray | None = None
+        self._since_detect = 0
+        self.frames_processed = 0
+        self._subs = [
+            bus.subscribe("/camera/color/image_raw", self._callback, direct=direct),
+            bus.subscribe("/camera/color/camera_info",
+                          lambda m: self.vel.set_fx(m.fx), direct=direct),
+            bus.subscribe("/camera/depth/median_distance",
+                          lambda m: self.vel.set_depth(m.range), direct=direct),
+        ]
+
+    def _detect(self, gray: np.ndarray) -> np.ndarray:
+        import cv2
+
+        pts = cv2.goodFeaturesToTrack(
+            gray.astype(np.uint8), self.max_corners, 0.01, 8
+        )
+        pts = np.zeros((0, 2), np.float32) if pts is None else pts.reshape(-1, 2)
+        # pad to a static count so the jit compiles once (padding tracks a
+        # harmless interior point and is masked out of the velocity)
+        n = len(pts)
+        out = np.full((self.max_corners, 2), np.nan, np.float32)
+        out[:n] = pts[: self.max_corners]
+        H, W = gray.shape
+        out[n:] = (W / 2.0, H / 2.0)
+        self._n_valid = min(n, self.max_corners)
+        return out
+
+    def _callback(self, msg: ImageMsg):
+        try:
+            from ..classical import calc_optical_flow_pyr_lk
+
+            frame = msg.data
+            gray = (
+                frame.mean(axis=-1).astype(np.float32)
+                if frame.ndim == 3 else frame.astype(np.float32)
+            )
+            if self._prev is None or self._pts is None or self._since_detect >= self.redetect_every:
+                self._pts = self._detect(gray)
+                self._since_detect = 0
+                if self._prev is None:
+                    self._prev = (gray, msg.header.stamp)
+                    return
+            prev, t_prev = self._prev
+            self._prev = (gray, msg.header.stamp)
+            dt = msg.header.stamp - t_prev
+            if dt <= 0:
+                dt = 1e-3
+            res = calc_optical_flow_pyr_lk(
+                prev, gray, self._pts,
+                win_size=(self.win_size, self.win_size),
+                max_level=self.max_level,
+            )
+            tracked = np.asarray(res.pts)
+            ok = np.asarray(res.status, bool)
+            ok[self._n_valid:] = False
+            disp = tracked[ok] - self._pts[ok]
+            self._since_detect += 1
+            if len(disp) < 4:
+                self._pts = None  # force re-detect
+                return
+            agg = np.median if self.p.aggregate == "median" else np.mean
+            vx = float(agg(disp[:, 0])) / dt * self.vel.pixel_to_meter
+            self.vel._smooth.append(vx)
+            name = self.p.name
+            self.bus.publish(f"/optical_flow/{name}_velocity",
+                             Vector3StampedMsg(msg.header, vx))
+            self.bus.publish(
+                f"/optical_flow/{name}_smooth_velocity",
+                Vector3StampedMsg(msg.header, float(np.mean(self.vel._smooth))),
+            )
+            # keep tracking from the new positions
+            new_pts = self._pts.copy()
+            new_pts[ok] = tracked[ok]
+            self._pts = new_pts
+            self.frames_processed += 1
+        except Exception:
+            import traceback
+
+            traceback.print_exc()

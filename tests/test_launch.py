@@ -50,3 +50,30 @@ def test_bringup_flow_smoke():
     bus.publish("/camera/color/image_raw", ImageMsg(Header(1.0), img))
     bus.publish("/camera/color/image_raw", ImageMsg(Header(1.1), img))
     assert len(vels) == 1 and abs(vels[0]) < 1e-3  # identical frames -> ~0
+
+
+def test_lk_velocity_node_tracks_translation(rng):
+    import cv2
+
+    from opticalflowcontainer_tpu.runtime import Bus
+    from opticalflowcontainer_tpu.runtime.messages import Header, ImageMsg
+    from opticalflowcontainer_tpu.runtime.nodes import LKVelocityNode, NodeParams
+
+    bus = Bus()
+    node = LKVelocityNode(
+        bus, NodeParams(name="LK", pixel_to_meter=1.0, aggregate="median"),
+        max_corners=100,
+    )
+    vels = []
+    bus.subscribe("/optical_flow/LK_velocity", lambda m: vels.append(m.x))
+    base = cv2.GaussianBlur(
+        rng.uniform(0, 255, (160, 260)).astype(np.float32), (0, 0), 1.5
+    )
+    for f in range(4):
+        frame = base[10:150, 40 - f * 2 : 240 - f * 2]  # content moves +2/frame
+        bus.publish(
+            "/camera/color/image_raw",
+            ImageMsg(Header(float(f)), np.repeat(frame[..., None], 3, -1).astype(np.uint8)),
+        )
+    assert len(vels) >= 2
+    assert abs(np.mean(vels) - 2.0) < 0.3, vels
