@@ -31,7 +31,19 @@ from .messages import (
     FlowMsg,
 )
 from .sources import SyntheticCamera, VideoFileSource, FrameDirectorySource
-from .nodes import FlowNode, DepthNode, JunctionMaskFlowNode, NodeParams
+from .nodes import (
+    FlowNode,
+    DepthNode,
+    JunctionMaskFlowNode,
+    JunctionDetectorNode,
+    LKVelocityNode,
+    NodeParams,
+    make_farneback_backend,
+    make_model_backend,
+)
+from .multistream import MultiStreamFlow, make_batched_farneback
+from .junction_tracking import JunctionTracker
+from .adaptive import AdaptiveParams, make_adaptive_backend
 from .velocity import VelocityEstimator
 
 __all__ = [
@@ -51,6 +63,15 @@ __all__ = [
     "FlowNode",
     "DepthNode",
     "JunctionMaskFlowNode",
+    "JunctionDetectorNode",
+    "LKVelocityNode",
     "NodeParams",
+    "make_farneback_backend",
+    "make_model_backend",
+    "MultiStreamFlow",
+    "make_batched_farneback",
+    "JunctionTracker",
+    "AdaptiveParams",
+    "make_adaptive_backend",
     "VelocityEstimator",
 ]
