@@ -262,3 +262,21 @@ def estimate(model, params, img1: jax.Array, img2: jax.Array, iters: int = 12):
     flow = model.apply(params, i1, i2, iters)[-1]
     flow = resize_bilinear(flow, (H, W), channel_last=True)
     return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)
+
+
+def load_raft_small_synth():
+    """Load the packaged toy checkpoint (RAFT-small trained on synthetic
+    translations on TPU — see tools in /tmp of the build; the real Sintel
+    -quality weights need dataset access).  Returns (model, params) or None
+    when the artifact is absent."""
+    import os
+
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    path = os.path.join(os.path.dirname(__file__), "weights", "raft_small_synth.npz")
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    tree = unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
+    return RAFTSmall(), {"params": tree}

@@ -193,3 +193,16 @@ def test_pwcnet_estimate_contract(rng):
     flow = np.asarray(estimate(model, params, i1, i2))
     assert flow.shape == (50, 70, 2)
     assert np.isfinite(flow).all()
+
+
+def test_packaged_raft_weights_load_and_run(rng):
+    from opticalflowcontainer_tpu.models.raft import load_raft_small_synth
+
+    loaded = load_raft_small_synth()
+    if loaded is None:
+        pytest.skip("packaged weights not present")
+    model, params = loaded
+    i1, i2 = _imgs(rng, 48, 64)
+    flows = model.apply(params, i1, i2, 2)
+    assert flows.shape == (2, 48, 64, 2)
+    assert np.isfinite(np.asarray(flows)).all()
