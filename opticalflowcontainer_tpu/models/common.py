@@ -121,3 +121,14 @@ def fuse_conv_bn(kernel, bias, gamma, beta, mean, var, eps: float = 1e-5):
     b = (np.asarray(bias) if bias is not None else 0.0) - np.asarray(mean)
     b = b * scale + np.asarray(beta)
     return k, b
+
+
+def cast_params(params, dtype):
+    """Cast a param tree for reduced-precision serving (the reference's
+    NeuFlow node runs fp16 — reference neuflow_node.py:50; on TPU the analogue
+    is bfloat16: half the HBM traffic, MXU-native).  Feed bf16 inputs too;
+    flax ops follow operand dtypes."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), params)

@@ -206,3 +206,18 @@ def test_packaged_raft_weights_load_and_run(rng):
     flows = model.apply(params, i1, i2, 2)
     assert flows.shape == (2, 48, 64, 2)
     assert np.isfinite(np.asarray(flows)).all()
+
+
+def test_cast_params_bf16_conv(rng):
+    from opticalflowcontainer_tpu.models.common import Conv, cast_params
+
+    x = rng.standard_normal((1, 16, 16, 8)).astype(np.float32)
+    model = Conv(16)
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(model.apply(params, x))
+    pb = cast_params(params, jnp.bfloat16)
+    out = np.asarray(
+        model.apply(pb, jnp.asarray(x, jnp.bfloat16)).astype(jnp.float32)
+    )
+    assert out.dtype == np.float32
+    assert np.abs(out - ref).max() < 0.1  # bf16 rounding only
