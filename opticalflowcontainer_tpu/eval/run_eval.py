@@ -34,14 +34,16 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
 
         if name == "raft":
             from ..models import RAFTSmall
-            from ..models.raft import estimate
+            from ..models.raft import estimate, load_raft_small_synth
 
-            model = RAFTSmall()
+            loaded = load_raft_small_synth()
+            model = loaded[0] if loaded else RAFTSmall()
 
             def run(img1, img2):
-                run.params = getattr(run, "params", None) or model.init(
-                    jax.random.PRNGKey(0), img1[:64, :64], img2[:64, :64], 2
-                )
+                if not hasattr(run, "params"):
+                    run.params = loaded[1] if loaded else model.init(
+                        jax.random.PRNGKey(0), img1[:64, :64], img2[:64, :64], 2
+                    )
                 return np.asarray(estimate(model, run.params, img1, img2,
                                            iters=4 if quick else 12))
 
