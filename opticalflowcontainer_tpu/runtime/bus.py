@@ -68,16 +68,27 @@ class Subscription:
 
 
 class Bus:
-    """Named-topic pub/sub."""
+    """Named-topic pub/sub.
 
-    def __init__(self):
+    ``namespace`` prefixes every topic, isolating pipelines that share a
+    process — the in-process analogue of the reference's ROS_DOMAIN_ID
+    partitioning (reference scripts/domainID.sh:1); separate Bus instances
+    (and BusBridge host/port pairs) are fully isolated regardless.
+    """
+
+    def __init__(self, namespace: str = ""):
+        self.namespace = namespace
         self._subs: dict[str, list[Subscription]] = {}
         self._lock = threading.Lock()
         self._latched: dict[str, object] = {}
 
+    def _resolve(self, topic: str) -> str:
+        return f"{self.namespace}{topic}" if self.namespace else topic
+
     def subscribe(
         self, topic: str, callback: Callable, depth: int = 10, direct: bool = True
     ) -> Subscription:
+        topic = self._resolve(topic)
         sub = Subscription(topic, callback, depth, direct)
         with self._lock:
             self._subs.setdefault(topic, []).append(sub)
@@ -86,6 +97,7 @@ class Bus:
         return sub
 
     def publish(self, topic: str, msg, latch: bool = False) -> None:
+        topic = self._resolve(topic)
         with self._lock:
             subs = list(self._subs.get(topic, ()))
             if latch:

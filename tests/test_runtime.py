@@ -153,3 +153,19 @@ def test_junction_masked_node_sync():
         bus.publish("/junction_detector/junctions", PointCloudMsg(Header(t + 0.004), pts))
     assert len(vels) == 1
     assert abs(vels[0] - 2.0) < 1e-6
+
+
+def test_bus_namespace_isolation():
+    from opticalflowcontainer_tpu.runtime import Bus
+
+    bus_a = Bus(namespace="/robot_a")
+    bus_shared = Bus()
+    got_a, got_plain = [], []
+    bus_a.subscribe("/t", got_a.append)
+    bus_shared.subscribe("/t", got_plain.append)
+    bus_a.publish("/t", 1)
+    bus_shared.publish("/t", 2)
+    assert got_a == [1] and got_plain == [2]
+    # same bus, namespaced both sides: round-trips
+    bus_a.publish("/t", 3)
+    assert got_a == [1, 3]
