@@ -51,10 +51,8 @@ def main(argv=None):
 
     from opticalflowcontainer_tpu.classical import farneback_batched
 
-    # B=1 is the measured-fastest per-field shape on the axon slice (XLA
-    # gather cost grows superlinearly with source size)
-    B = args.batch or 1
-    reps = args.reps or (3 if args.quick else 10)
+    B = args.batch or (2 if args.quick else 8)
+    reps = args.reps or (2 if args.quick else 6)
     H, W = 720, 1280
 
     def bench_fn(a, b):

@@ -221,14 +221,17 @@ def _update_matrices(R0: jax.Array, R1p: jax.Array, flow: jax.Array) -> jax.Arra
     xc = jnp.clip(x0i, 0, W - 2)
     yc = jnp.clip(y0i, 0, H - 2)
 
-    lin = (yc * W + xc).reshape(B, H * W)
-    lin = lin + (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None]
-    # on TPU the gather is the dominant cost and scales with source bytes:
-    # gather the taps in bf16 (the expansion coefficients tolerate it — the
-    # normal-equation math stays fp32), halving gather traffic
+    lin = (yc * W + xc).reshape(B, H * W, 1)
+    # On TPU the gather is the dominant cost.  Two measured properties shape
+    # this code: (a) gather slows superlinearly with SOURCE size, so each
+    # batch element gathers from its own [HW, 20] source instead of one
+    # [B*HW, 20] source (3x/field regression otherwise); (b) bf16 taps halve
+    # the traffic (the expansion coefficients tolerate it — the
+    # normal-equation math stays fp32).
     src = R1p.astype(jnp.bfloat16) if _on_tpu() else R1p
-    g = jnp.take_along_axis(
-        src.reshape(B * H * W, 20), lin.reshape(B * H * W, 1), axis=0
+    src = src.reshape(B, H * W, 20)
+    g = jnp.stack(
+        [jnp.take_along_axis(src[b], lin[b], axis=0) for b in range(B)]
     ).astype(jnp.float32).reshape(batch + (H, W, 4, 5))
     R1s = (
         g[..., 0, :] * (1 - wx) * (1 - wy)
