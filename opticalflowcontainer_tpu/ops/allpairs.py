@@ -45,9 +45,21 @@ def corr_pyramid(vol: jax.Array, levels: int = 4) -> list[jax.Array]:
     return pyr
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _bilinear_volume_sample(vol: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """Sample vol [H, W, H2, W2] at per-source-pixel target coords
-    x, y [H, W, T] (zeros outside), returning [H, W, T]."""
+    x, y [H, W, T] (zeros outside), returning [H, W, T].
+
+    TPU: the gather engine's cost is per gathered element, so the four
+    bilinear taps are packed into one 4-channel row (self/right/down/
+    down-right) and fetched with a single bf16 gather — ~4x fewer elements
+    than four scalar gathers (same trick as the Farneback warp)."""
     H, W, H2, W2 = vol.shape
     T = x.shape[-1]
     x0 = jnp.floor(x)
@@ -56,6 +68,37 @@ def _bilinear_volume_sample(vol: jax.Array, x: jax.Array, y: jax.Array) -> jax.A
     wy = y - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
+
+    if _on_tpu():
+        # zero-pad one ring so every base (y0+1, x0+1) with y0 in [-1, H2-1]
+        # maps to an exact 2x2 block carrying the zero-outside semantics;
+        # fully-out-of-range bases are killed by the per-tap masks below.
+        volp = jnp.pad(vol, ((0, 0), (0, 0), (1, 1), (1, 1)))
+        Hp, Wp = H2 + 2, W2 + 2
+        right = jnp.concatenate([volp[..., :, 1:], volp[..., :, -1:]], axis=-1)
+        down = jnp.concatenate([volp[..., 1:, :], volp[..., -1:, :]], axis=-2)
+        downright = jnp.concatenate([down[..., :, 1:], down[..., :, -1:]], axis=-1)
+        packed = jnp.stack([volp, right, down, downright], axis=-1).astype(
+            jnp.bfloat16
+        )  # [H, W, Hp, Wp, 4]
+        xc = jnp.clip(x0i + 1, 0, Wp - 2)
+        yc = jnp.clip(y0i + 1, 0, Hp - 2)
+        lin = (yc * Wp + xc).reshape(H * W, T, 1)
+        g = jnp.take_along_axis(
+            packed.reshape(H * W, Hp * Wp, 4),
+            jnp.broadcast_to(lin, (H * W, T, 1)),
+            axis=1,
+        ).astype(jnp.float32).reshape(H, W, T, 4)
+        ok = lambda iy, ix: ((iy >= 0) & (iy < H2) & (ix >= 0) & (ix < W2)).astype(
+            jnp.float32
+        )
+        return (
+            g[..., 0] * (1 - wx) * (1 - wy) * ok(y0i, x0i)
+            + g[..., 1] * wx * (1 - wy) * ok(y0i, x0i + 1)
+            + g[..., 2] * (1 - wx) * wy * ok(y0i + 1, x0i)
+            + g[..., 3] * wx * wy * ok(y0i + 1, x0i + 1)
+        )
+
     flat = vol.reshape(H * W, H2 * W2)
 
     def tap(iy, ix):
