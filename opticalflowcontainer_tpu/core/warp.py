@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _gather_hw(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
@@ -36,10 +37,21 @@ def _gather_hw(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
     return out.reshape(batch + (h, w, C))
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def sample_bilinear_zeros(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     """Bilinear sample of ``img [..., H, W, C]`` at float pixel coords (x, y)
     ``[H, W]`` each, zeros outside: out-of-range *taps* contribute zero, exactly
-    like torch ``grid_sample(padding_mode='zeros')``."""
+    like torch ``grid_sample(padding_mode='zeros')``.
+
+    TPU path: the gather engine's cost is per gathered row, so the four taps
+    are packed into one 4C-channel row and fetched with a single gather from a
+    zero-ring-padded image (4x fewer gathered rows than four tap gathers)."""
     H, W = img.shape[-3], img.shape[-2]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -47,6 +59,36 @@ def sample_bilinear_zeros(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Arr
     wy = (y - y0)[..., None]
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
+
+    if _on_tpu():
+        C = img.shape[-1]
+        batch = img.shape[:-3]
+        B = int(np.prod(batch, dtype=np.int64)) if batch else 1
+        cfg = [(0, 0)] * (img.ndim - 3) + [(1, 1), (1, 1), (0, 0)]
+        p = jnp.pad(img, cfg)  # zero ring: base (y0+1, x0+1) valid for y0 >= -1
+        Hp, Wp = H + 2, W + 2
+        right = jnp.concatenate([p[..., :, 1:, :], p[..., :, -1:, :]], axis=-2)
+        down = jnp.concatenate([p[..., 1:, :, :], p[..., -1:, :, :]], axis=-3)
+        downright = jnp.concatenate(
+            [down[..., :, 1:, :], down[..., :, -1:, :]], axis=-2
+        )
+        packed = jnp.concatenate([p, right, down, downright], axis=-1)
+        yc = jnp.clip(y0i + 1, 0, Hp - 2)
+        xc = jnp.clip(x0i + 1, 0, Wp - 2)
+        h, w = x.shape[-2], x.shape[-1]
+        lin = (yc * Wp + xc).reshape(-1, h * w, 1)
+        lin = jnp.broadcast_to(lin, (B, h * w, 1)).reshape(B, h * w, 1)
+        src = packed.reshape(B, Hp * Wp, 4 * C)
+        g = jnp.stack(
+            [jnp.take_along_axis(src[b], lin[b], axis=0) for b in range(B)]
+        ).reshape(batch + (h, w, 4, C))
+        ok = lambda iy, ix: ((iy >= 0) & (iy < H) & (ix >= 0) & (ix < W))[..., None]
+        return (
+            g[..., 0, :] * (1 - wx) * (1 - wy) * ok(y0i, x0i)
+            + g[..., 1, :] * wx * (1 - wy) * ok(y0i, x0i + 1)
+            + g[..., 2, :] * (1 - wx) * wy * ok(y0i + 1, x0i)
+            + g[..., 3, :] * wx * wy * ok(y0i + 1, x0i + 1)
+        )
 
     out = None
     for dy, dx, w in (
