@@ -67,18 +67,22 @@ def _gather_windows(
     y0i = y0.astype(jnp.int32)
     flat = img.reshape(-1)
 
+    flat2d = flat[:, None]
+
+    def _rows(lin):
+        # take_along_axis row-gather: the fast TPU gather form (~30x over
+        # jnp.take; see CLAUDE.md perf rules)
+        return jnp.take_along_axis(flat2d, lin.reshape(-1, 1), axis=0).reshape(x.shape)
+
     if border == "reflect101":
         def tap(iy, ix):
             iy = _reflect101(iy, H)
             ix = _reflect101(ix, W)
-            return jnp.take(flat, (iy * W + ix).reshape(-1)).reshape(x.shape)
+            return _rows(iy * W + ix)
     else:
         def tap(iy, ix):
             ok = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-            v = jnp.take(
-                flat,
-                (jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)).reshape(-1),
-            ).reshape(x.shape)
+            v = _rows(jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1))
             return jnp.where(ok, v, 0.0)
 
     return (
