@@ -63,6 +63,8 @@ def _corr_kernel(
     a = f1_ref[:, :, :]
     dma.wait()
     inv_c = 1.0 / C
+    # per-lane stores: a K*K-way jnp.stack store crashes the Mosaic compiler
+    # for K*K=81, so each displacement writes its own output lane
     for iy in range(K):
         for ix in range(K):
             dy = P + (iy - K // 2) * disp_stride
