@@ -2,7 +2,7 @@
 
 The reference's DDS backbone is inherently cross-process (C++ detector node
 <-> Python flow nodes); our in-process :class:`~.bus.Bus` gains that through
-a length-prefixed-pickle TCP bridge:
+a TCP bridge:
 
 - :class:`BusBridgeServer` — accepts connections and re-publishes every
   message received onto the local bus; forwards selected local topics to all
@@ -11,24 +11,133 @@ a length-prefixed-pickle TCP bridge:
 
 This is the DCN leg of the SURVEY §2.3 mapping (host pub/sub over DCN feeds
 per-device pipelines; on-device scale-out is the separate ICI path in
-``parallel/``).  Wire format: 4-byte big-endian length + pickle of
-(topic, msg).  Loop protection: bridged messages are tagged and not
-re-forwarded.
+``parallel/``).
+
+Wire format (data-only — deliberately NOT pickle, so a malicious peer can
+at worst deliver a malformed message, never execute code):
+
+    >I total payload length
+    >I JSON header length
+    JSON header  {"topic": str, "msg": <encoded>}
+    raw little-endian array buffers, in encounter order
+
+where ``<encoded>`` recursively encodes the typed dataclasses from
+:mod:`.messages` as ``{"__msg__": <registered type name>, "fields": {...}}``,
+numpy arrays as ``{"__nd__": i, "dtype": ..., "shape": ...}`` referencing the
+i-th raw buffer (dtype restricted to a numeric whitelist), and scalars as
+JSON natives.  Only registered message types can be constructed on receive.
+
+Security posture: binds are restricted to loopback unless
+``allow_external=True`` is passed explicitly (the bridge carries no
+authentication — put it behind your own transport security if it must cross
+hosts).
+
+Loop protection: messages arriving from a peer are re-published locally with
+a thread-local note of *which topic* is being delivered; the forwarder for
+that same topic skips re-forwarding, but messages a subscriber publishes on
+*other* forwarded topics in response still propagate (a node reacting to a
+bridged image by publishing flow must not have that flow silently dropped).
 """
 from __future__ import annotations
 
-import pickle
+import dataclasses
+import ipaddress
+import json
 import socket
 import struct
 import threading
 
+import numpy as np
+
+from . import messages as _messages
 from .bus import Bus
 
 _HDR = struct.Struct(">I")
 
+# Closed registry of constructible message types (data-only deserialization).
+_MSG_TYPES = {
+    cls.__name__: cls
+    for cls in vars(_messages).values()
+    if dataclasses.is_dataclass(cls) and isinstance(cls, type)
+}
+
+_DTYPE_WHITELIST = {
+    "bool", "uint8", "uint16", "uint32", "uint64",
+    "int8", "int16", "int32", "int64", "float16", "float32", "float64",
+}
+
+_MAX_MSG_BYTES = 1 << 30
+
+
+def register_message_type(cls: type) -> type:
+    """Allow a user-defined dataclass message type across the bridge."""
+    if not (dataclasses.is_dataclass(cls) and isinstance(cls, type)):
+        raise TypeError("register_message_type expects a dataclass type")
+    _MSG_TYPES[cls.__name__] = cls
+    return cls
+
+
+def _encode(topic: str, msg) -> bytes:
+    buffers: list[bytes] = []
+
+    def enc(v):
+        if isinstance(v, np.ndarray):
+            if str(v.dtype) not in _DTYPE_WHITELIST:
+                raise TypeError(f"array dtype {v.dtype} not bridgeable")
+            a = np.ascontiguousarray(v)
+            buffers.append(a.tobytes())
+            return {"__nd__": len(buffers) - 1, "dtype": str(a.dtype),
+                    "shape": list(a.shape)}
+        if dataclasses.is_dataclass(v) and not isinstance(v, type):
+            name = type(v).__name__
+            if _MSG_TYPES.get(name) is not type(v):
+                raise TypeError(f"message type {name} not registered for bridging")
+            return {"__msg__": name,
+                    "fields": {f.name: enc(getattr(v, f.name))
+                               for f in dataclasses.fields(v)}}
+        if isinstance(v, (np.floating, np.integer)):
+            return v.item()
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        raise TypeError(f"value of type {type(v).__name__} not bridgeable")
+
+    head = json.dumps({"topic": topic, "msg": enc(msg)}).encode()
+    return b"".join([_HDR.pack(len(head)), head, *buffers])
+
+
+def _decode(payload: bytes):
+    (hlen,) = _HDR.unpack_from(payload, 0)
+    head = json.loads(payload[4 : 4 + hlen].decode())
+    buffers = memoryview(payload)[4 + hlen:]
+
+    offsets = [0]  # filled lazily as arrays appear in encounter order
+
+    def dec(v):
+        if isinstance(v, dict) and "__nd__" in v:
+            dtype = str(v["dtype"])
+            if dtype not in _DTYPE_WHITELIST:
+                raise ValueError(f"array dtype {dtype} not allowed")
+            shape = tuple(int(s) for s in v["shape"])
+            n = int(np.prod(shape, dtype=np.int64)) * np.dtype(dtype).itemsize
+            start = offsets[-1]
+            offsets.append(start + n)
+            return np.frombuffer(
+                buffers[start : start + n], dtype=dtype
+            ).reshape(shape).copy()
+        if isinstance(v, dict) and "__msg__" in v:
+            cls = _MSG_TYPES.get(str(v["__msg__"]))
+            if cls is None:
+                raise ValueError(f"unknown message type {v['__msg__']!r}")
+            return cls(**{str(k): dec(x) for k, x in v["fields"].items()})
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        raise ValueError("malformed wire value")
+
+    return str(head["topic"]), dec(head["msg"])
+
 
 def _send_msg(sock: socket.socket, topic: str, msg) -> None:
-    payload = pickle.dumps((topic, msg), protocol=pickle.HIGHEST_PROTOCOL)
+    payload = _encode(topic, msg)
     sock.sendall(_HDR.pack(len(payload)) + payload)
 
 
@@ -40,13 +149,26 @@ def _recv_msg(sock: socket.socket):
             return None
         hdr += chunk
     (n,) = _HDR.unpack(hdr)
-    buf = b""
-    while len(buf) < n:
-        chunk = sock.recv(min(n - len(buf), 1 << 20))
+    if n > _MAX_MSG_BYTES:
+        raise OSError(f"bridge message too large ({n} bytes)")
+    parts = []
+    got = 0
+    while got < n:
+        chunk = sock.recv(min(n - got, 1 << 20))
         if not chunk:
             return None
-        buf += chunk
-    return pickle.loads(buf)
+        parts.append(chunk)
+        got += len(chunk)
+    return _decode(b"".join(parts))
+
+
+def _is_loopback(host: str) -> bool:
+    if host in ("localhost", ""):
+        return host == "localhost"
+    try:
+        return ipaddress.ip_address(host).is_loopback
+    except ValueError:
+        return False
 
 
 class _BridgeBase:
@@ -56,14 +178,17 @@ class _BridgeBase:
         self._peers: list[socket.socket] = []
         self._peers_lock = threading.Lock()
         self._stop = threading.Event()
-        self._from_remote = threading.local()
+        self._delivering = threading.local()  # .topic = bridged topic in flight
         for t in forward_topics:
             self.bus.subscribe(t, self._make_forwarder(t))
 
     def _make_forwarder(self, topic: str):
         def forward(msg):
-            if getattr(self._from_remote, "active", False):
-                return  # came from a peer: don't echo back
+            # Echo guard is per-topic: only the topic that just arrived from a
+            # peer is suppressed; derived messages published synchronously on
+            # OTHER forwarded topics still propagate.
+            if getattr(self._delivering, "topic", None) == topic:
+                return
             with self._peers_lock:
                 peers = list(self._peers)
             for p in peers:
@@ -80,16 +205,17 @@ class _BridgeBase:
         while not self._stop.is_set():
             try:
                 item = _recv_msg(sock)
-            except OSError:
-                break
+            except (OSError, ValueError, KeyError, TypeError):
+                break  # disconnected or malformed peer data: drop the peer
             if item is None:
                 break
             topic, msg = item
-            self._from_remote.active = True
+            prev = getattr(self._delivering, "topic", None)
+            self._delivering.topic = topic
             try:
                 self.bus.publish(topic, msg)
             finally:
-                self._from_remote.active = False
+                self._delivering.topic = prev
         with self._peers_lock:
             if sock in self._peers:
                 self._peers.remove(sock)
@@ -109,7 +235,14 @@ class _BridgeBase:
 
 class BusBridgeServer(_BridgeBase):
     def __init__(self, bus: Bus, port: int = 0, host: str = "127.0.0.1",
-                 forward_topics: list[str] | None = None):
+                 forward_topics: list[str] | None = None,
+                 allow_external: bool = False):
+        if not allow_external and not _is_loopback(host):
+            raise ValueError(
+                f"refusing to bind bridge to non-loopback host {host!r}: the "
+                "bridge is unauthenticated; pass allow_external=True only "
+                "behind your own transport security"
+            )
         super().__init__(bus, forward_topics or [])
         self._srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
