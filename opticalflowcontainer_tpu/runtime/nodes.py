@@ -178,18 +178,24 @@ class FlowNode:
             )
             if frame is None:
                 return
-        if frame.ndim == 3:
-            gray = frame.mean(axis=-1).astype(np.float32) if frame.shape[-1] == 3 else frame[..., 0]
+        # Learned-model backends see the full color frame (the reference feeds
+        # RGB to nets trained on RGB, lfn3_node.py:161-177); classical
+        # backends get BT.601 grayscale (what cv2.cvtColor BGR2GRAY computes).
+        wants_color = bool(getattr(self.backend, "wants_color", False))
+        if frame.ndim == 3 and frame.shape[-1] == 3:
+            obs = frame if wants_color else _bgr_to_gray_np(frame)
+        elif frame.ndim == 3:
+            obs = frame[..., 0].astype(np.float32)
         else:
-            gray = frame.astype(np.float32)
+            obs = frame.astype(np.float32)
         if self._prev is None:
-            self._prev = (gray, msg.header.stamp)
+            self._prev = (obs, msg.header.stamp)
             return
         prev, t_prev = self._prev
-        self._prev = (gray, msg.header.stamp)
+        self._prev = (obs, msg.header.stamp)
         dt = msg.header.stamp - t_prev
 
-        flow = np.asarray(self.backend(prev, gray, dt))
+        flow = np.asarray(self.backend(prev, obs, dt))
         vx, vx_smooth, _vy = self.vel.update(flow, dt, mask)
         name = self.p.name
         self.bus.publish(
@@ -302,20 +308,34 @@ def make_farneback_backend(**kwargs):
     return backend
 
 
-def make_model_backend(estimate_fn):
-    """Wrap a model ``estimate``-style callable (img1, img2) -> flow.  Expects
-    float [0,1] BGR NHWC images; grayscale inputs are stacked to 3 channels.
-    NaN/Inf outputs are scrubbed to zero (the reference does the same for its
-    fp16 NeuFlow path, reference neuflow_node.py:145)."""
+def _bgr_to_gray_np(frame: np.ndarray) -> np.ndarray:
+    """Host-side BT.601 gray (matches core.color.bgr_to_gray / cv2 BGR2GRAY)."""
+    f = frame.astype(np.float32)
+    return 0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]
+
+
+def make_model_backend(estimate_fn, bgr_to_rgb: bool = False):
+    """Wrap a model ``estimate``-style callable (img1, img2) -> flow.  The
+    node delivers the original uint8 BGR frame (``backend.wants_color``); this
+    converts to float [0,1] HWC for the net — the reference's per-frame
+    preprocessing (lfn3_node.py:161-177).  Our model ``estimate`` contracts
+    take BGR (the sniklaus-checkpoint convention, models/liteflownet.py:132),
+    so the default keeps BGR; pass ``bgr_to_rgb=True`` for RGB-trained nets.
+    Grayscale inputs are stacked to 3 channels as a fallback.  NaN/Inf outputs
+    are scrubbed to zero (the reference does the same for its fp16 NeuFlow
+    path, neuflow_node.py:145)."""
 
     def backend(prev, cur, dt):
-        def to3(x):
+        def prep(x):
             x = x.astype(np.float32) / 255.0
-            return np.repeat(x[..., None], 3, -1) if x.ndim == 2 else x
+            if x.ndim == 2:
+                return np.repeat(x[..., None], 3, -1)
+            return x[..., ::-1] if bgr_to_rgb else x
 
-        flow = np.asarray(estimate_fn(to3(prev), to3(cur)))
+        flow = np.asarray(estimate_fn(prep(prev), prep(cur)))
         return np.nan_to_num(flow, nan=0.0, posinf=0.0, neginf=0.0)
 
+    backend.wants_color = True
     return backend
 
 
@@ -413,7 +433,7 @@ class LKVelocityNode:
 
             frame = msg.data
             gray = (
-                frame.mean(axis=-1).astype(np.float32)
+                _bgr_to_gray_np(frame)
                 if frame.ndim == 3 else frame.astype(np.float32)
             )
             if self._prev is None or self._pts is None or self._since_detect >= self.redetect_every:
@@ -425,8 +445,6 @@ class LKVelocityNode:
             prev, t_prev = self._prev
             self._prev = (gray, msg.header.stamp)
             dt = msg.header.stamp - t_prev
-            if dt <= 0:
-                dt = 1e-3
             res = calc_optical_flow_pyr_lk(
                 prev, gray, self._pts,
                 win_size=(self.win_size, self.win_size),
@@ -441,14 +459,15 @@ class LKVelocityNode:
                 self._pts = None  # force re-detect
                 return
             agg = np.median if self.p.aggregate == "median" else np.mean
-            vx = float(agg(disp[:, 0])) / dt * self.vel.pixel_to_meter
-            self.vel._smooth.append(vx)
+            vx, vx_smooth = self.vel.update_from_displacement(
+                float(agg(disp[:, 0])), dt
+            )
             name = self.p.name
             self.bus.publish(f"/optical_flow/{name}_velocity",
                              Vector3StampedMsg(msg.header, vx))
             self.bus.publish(
                 f"/optical_flow/{name}_smooth_velocity",
-                Vector3StampedMsg(msg.header, float(np.mean(self.vel._smooth))),
+                Vector3StampedMsg(msg.header, vx_smooth),
             )
             # keep tracking from the new positions
             new_pts = self._pts.copy()

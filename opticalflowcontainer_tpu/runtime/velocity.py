@@ -65,6 +65,19 @@ class VelocityEstimator:
         self._smooth.append(vx)
         return vx, float(np.mean(self._smooth)), vy
 
+    def update_from_displacement(self, du_px: float, dt: float) -> tuple[float, float]:
+        """Velocity from an already-aggregated pixel displacement (sparse
+        trackers aggregate over tracked points, not a dense field).  Applies
+        the same dt guard, scale, clamp and smoothing as :meth:`update`;
+        returns (vx_raw, vx_smooth) in m/s."""
+        if dt <= 0:
+            dt = 1e-3
+        vx = float(du_px) / dt * self.pixel_to_meter
+        if self.max_speed is not None:
+            vx = float(np.clip(vx, -self.max_speed, self.max_speed))
+        self._smooth.append(vx)
+        return vx, float(np.mean(self._smooth))
+
 
 def junction_mask(
     shape: tuple[int, int], points: np.ndarray, box: int = 11

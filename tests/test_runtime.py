@@ -169,3 +169,54 @@ def test_bus_namespace_isolation():
     # same bus, namespaced both sides: round-trips
     bus_a.publish("/t", 3)
     assert got_a == [1, 3]
+
+
+def test_color_backend_receives_bgr_classical_gets_bt601_gray():
+    """Learned-model backends must see the original 3-channel frame (the
+    reference feeds color to nets trained on color); classical backends get
+    BT.601 gray, not an unweighted channel mean."""
+    from opticalflowcontainer_tpu.runtime.nodes import make_model_backend
+
+    frame = np.zeros((8, 8, 3), np.uint8)
+    frame[..., 0] = 10   # B
+    frame[..., 1] = 100  # G
+    frame[..., 2] = 200  # R
+
+    seen = {}
+
+    def fake_estimate(i1, i2):
+        seen["img"] = np.asarray(i2)
+        return np.zeros(i2.shape[:2] + (2,), np.float32)
+
+    node = FlowNode(make_model_backend(fake_estimate), NodeParams(name="M"))
+    node._image_callback(ImageMsg(Header(0.0), frame))
+    node._image_callback(ImageMsg(Header(0.1), frame))
+    img = seen["img"]
+    assert img.shape == (8, 8, 3)
+    ch = img[0, 0] * 255.0
+    assert not np.allclose(ch, ch[0])  # three DISTINCT channels survive
+    np.testing.assert_allclose(ch, [10, 100, 200], atol=1e-4)  # BGR preserved
+
+    got_gray = {}
+
+    def gray_backend(prev, cur, dt):
+        got_gray["img"] = np.asarray(cur)
+        return np.zeros(cur.shape + (2,), np.float32)
+
+    node2 = FlowNode(gray_backend, NodeParams(name="G"))
+    node2._image_callback(ImageMsg(Header(0.0), frame))
+    node2._image_callback(ImageMsg(Header(0.1), frame))
+    g = got_gray["img"]
+    assert g.shape == (8, 8)
+    expected = 0.114 * 10 + 0.587 * 100 + 0.299 * 200  # BT.601, BGR order
+    np.testing.assert_allclose(g[0, 0], expected, rtol=1e-5)
+
+
+def test_velocity_update_from_displacement_smooths_and_clamps():
+    est = VelocityEstimator(pixel_to_meter=0.001, smooth_window=3, max_speed=1.0)
+    vx, sm = est.update_from_displacement(500.0, 0.5)  # 1 m/s -> at clamp
+    assert vx == 1.0 and sm == 1.0
+    vx, sm = est.update_from_displacement(2500.0, 0.5)  # 5 m/s -> clamped
+    assert vx == 1.0
+    vx, sm = est.update_from_displacement(0.0, -1.0)  # dt guard
+    assert vx == 0.0 and np.isclose(sm, 2.0 / 3.0)
