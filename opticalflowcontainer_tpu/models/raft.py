@@ -229,7 +229,10 @@ class _RAFTBase(nn.Module):
         for _ in range(iters):
             corr = corr_lookup(pyr, flow, self.corr_radius)
             m = self.motion(flow, corr)
-            h = self.gru(h, jnp.concatenate([m, ctx], axis=-1))
+            # [context, motion] — torchvision/official RAFT input order, so a
+            # converted torchvision checkpoint drops in without channel
+            # scrambling (the packaged synth weights were permuted to match).
+            h = self.gru(h, jnp.concatenate([ctx, m], axis=-1))
             delta = self.head(h)
             flow = flow + delta
             if self.small:
