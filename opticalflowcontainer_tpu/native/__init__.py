@@ -40,7 +40,7 @@ def _load_native() -> ctypes.CDLL | None:
             lib.ofc_detect_junctions.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
                 ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_int,
-                ctypes.c_float, ctypes.c_float,
+                ctypes.c_float, ctypes.c_float, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ]
             _lib = lib
@@ -57,10 +57,15 @@ def detect_junctions(
     min_cluster_pts: int = 3,
     rb_lo: float = -20.0,
     rb_hi: float = 15.0,
+    rotated: bool = False,
     max_out: int = 4096,
     force_python: bool = False,
 ) -> np.ndarray:
-    """Detect fishnet junction points in a bgr8 image -> [N, 2] float32 (x, y)."""
+    """Detect fishnet junction points in a bgr8 image -> [N, 2] float32 (x, y).
+
+    ``rotated=True`` fits minAreaRect cells (the reference test-harness
+    variant for nets seen at an angle, junction_point_tests/
+    junction_detector.cpp:126-170) instead of axis-aligned boxes."""
     bgr = np.ascontiguousarray(bgr, np.uint8)
     assert bgr.ndim == 3 and bgr.shape[2] == 3
     if not force_python:
@@ -73,16 +78,19 @@ def detect_junctions(
                 ctypes.c_float(grid_area), ctypes.c_float(area_tol),
                 ctypes.c_float(cluster_eps), min_cluster_pts,
                 ctypes.c_float(rb_lo), ctypes.c_float(rb_hi),
+                int(rotated),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), max_out,
             )
             if n >= 0:
                 return out[:n].copy()
     return _detect_junctions_py(
-        bgr, grid_area, area_tol, cluster_eps, min_cluster_pts, rb_lo, rb_hi
+        bgr, grid_area, area_tol, cluster_eps, min_cluster_pts, rb_lo, rb_hi,
+        rotated,
     )
 
 
-def _detect_junctions_py(bgr, grid_area, area_tol, cluster_eps, min_pts, rb_lo, rb_hi):
+def _detect_junctions_py(bgr, grid_area, area_tol, cluster_eps, min_pts, rb_lo,
+                         rb_hi, rotated=False):
     """cv2-python fallback implementing the same pipeline (also the oracle the
     native path is tested against)."""
     import cv2
@@ -104,6 +112,17 @@ def _detect_junctions_py(bgr, grid_area, area_tol, cluster_eps, min_pts, rb_lo, 
     for c in contours:
         area = cv2.contourArea(c)
         if area < amin or area > amax:
+            continue
+        if rotated:
+            rect = cv2.minAreaRect(c)
+            (rw, rh), ang = rect[1], rect[2]
+            if ang < -45:
+                rw, rh = rh, rw
+            if rw <= 0 or rh <= 0:
+                continue
+            if area / (rw * rh) < 0.4 or not (0.5 <= rw / rh <= 2.0):
+                continue
+            cands += [tuple(p) for p in cv2.boxPoints(rect)]
             continue
         x, y, bw, bh = cv2.boundingRect(c)
         if bw <= 0 or bh <= 0:

@@ -109,10 +109,14 @@ extern "C" {
 
 // Detect junction points in a bgr8 image.  Writes up to max_out (x, y) pairs
 // into out_xy; returns the number of junctions found (>= 0) or -1 on error.
+// ``rotated`` != 0 uses minAreaRect cells (the reference test-harness variant
+// for nets seen at an angle — reference junction_point_tests/
+// junction_detector.cpp:126-170); 0 uses axis-aligned bounding boxes (the
+// reference ROS-node variant).
 int ofc_detect_junctions(const uint8_t* bgr_data, int height, int width,
                          float grid_area, float area_tol, float cluster_eps,
                          int min_cluster_pts, float rb_lo, float rb_hi,
-                         float* out_xy, int max_out) {
+                         int rotated, float* out_xy, int max_out) {
   if (!bgr_data || height <= 2 || width <= 2 || !out_xy || max_out <= 0)
     return -1;
   try {
@@ -131,6 +135,19 @@ int ofc_detect_junctions(const uint8_t* bgr_data, int height, int width,
     for (const auto& c : contours) {
       const double area = cv::contourArea(c);
       if (area < amin || area > amax) continue;
+      if (rotated) {
+        const cv::RotatedRect rect = cv::minAreaRect(c);
+        float rw = rect.size.width, rh = rect.size.height;
+        if (rect.angle < -45.0f) std::swap(rw, rh);
+        if (rw <= 0 || rh <= 0) continue;
+        const float solidity = static_cast<float>(area) / (rw * rh);
+        const float aspect = rw / rh;
+        if (solidity < 0.4f || aspect < 0.5f || aspect > 2.0f) continue;
+        cv::Point2f vertices[4];
+        rect.points(vertices);
+        for (const auto& vtx : vertices) cands.push_back({vtx.x, vtx.y});
+        continue;
+      }
       const cv::Rect box = cv::boundingRect(c);
       if (box.width <= 0 || box.height <= 0) continue;
       const float solidity =

@@ -11,8 +11,8 @@
 #include <vector>
 
 extern "C" int ofc_detect_junctions(const unsigned char*, int, int, float,
-                                    float, float, int, float, float, float*,
-                                    int);
+                                    float, float, int, float, float, int,
+                                    float*, int);
 
 int main(int argc, char** argv) {
   cv::Mat img;
@@ -35,8 +35,8 @@ int main(int argc, char** argv) {
   std::vector<float> out(2 * 4096);
   const float grid_area = static_cast<float>((cell - 2) * (cell - 2));
   const int n = ofc_detect_junctions(img.data, img.rows, img.cols, grid_area,
-                                     2.0f, 6.0f, 3, -20.0f, 15.0f, out.data(),
-                                     4096);
+                                     2.0f, 6.0f, 3, -20.0f, 15.0f, 0,
+                                     out.data(), 4096);
   std::printf("junctions: %d\n", n);
   for (int i = 0; i < std::min(n, 8); ++i)
     std::printf("  (%.1f, %.1f)\n", out[2 * i], out[2 * i + 1]);

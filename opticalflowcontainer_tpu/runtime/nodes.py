@@ -346,7 +346,8 @@ class JunctionDetectorNode:
 
     def __init__(self, bus: Bus, grid_area: float = 200.0, area_tol: float = 2.0,
                  cluster_eps: float = 6.0, min_publish: int = 4,
-                 direct: bool = True, force_python: bool = False):
+                 direct: bool = True, force_python: bool = False,
+                 rotated: bool = False):
         from ..native import detect_junctions
 
         self._detect = detect_junctions
@@ -356,6 +357,7 @@ class JunctionDetectorNode:
         self.cluster_eps = cluster_eps
         self.min_publish = min_publish
         self.force_python = force_python
+        self.rotated = rotated
         self._sub = bus.subscribe("/camera/color/image_raw", self._callback,
                                   direct=direct)
 
@@ -366,6 +368,7 @@ class JunctionDetectorNode:
         pts = self._detect(
             img, grid_area=self.grid_area, area_tol=self.area_tol,
             cluster_eps=self.cluster_eps, force_python=self.force_python,
+            rotated=self.rotated,
         )
         if len(pts) >= self.min_publish:
             self.bus.publish(

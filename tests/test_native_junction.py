@@ -1,5 +1,7 @@
 """Native junction detector tests: C++ vs python-fallback agreement on a
 synthetic fishnet, and the detector node's topic contract."""
+import os
+
 import numpy as np
 import pytest
 
@@ -62,3 +64,41 @@ def test_junction_detector_node_contract():
     bus.publish("/camera/color/image_raw", ImageMsg(Header(2.0), blank))
     assert len(got) == 1
     del node
+
+
+def _match_frac(A, B, tol):
+    if len(A) == 0:
+        return 0.0
+    d = np.linalg.norm(A[:, None] - B[None], axis=-1).min(axis=1)
+    return float((d < tol).mean())
+
+
+def test_golden_fishnet_rotated_variant():
+    """Golden-image test mirroring the reference's junction_point_tests
+    harness (main.cpp:14-60): a checked-in rotated fishnet with sensor noise
+    and an illumination gradient.  The minAreaRect (rotated) variant
+    (reference junction_point_tests/junction_detector.cpp:126-170) must
+    recover most grid intersections where axis-aligned boxes cannot, and the
+    native C++ and python pipelines must agree."""
+    import cv2
+
+    here = os.path.dirname(__file__)
+    img = cv2.imread(os.path.join(here, "data", "fishnet_golden.png"))
+    gt = np.load(os.path.join(here, "data", "fishnet_golden_gt.npy"))
+    assert img is not None and len(gt) > 300
+    grid_area = (28 - 2) ** 2
+
+    nat = detect_junctions(img, grid_area=grid_area, rotated=True)
+    py = detect_junctions(img, grid_area=grid_area, rotated=True,
+                          force_python=True)
+    assert len(nat) == len(py)
+    assert _match_frac(nat, py, 1.5) == 1.0  # native == python
+
+    recall = _match_frac(gt, nat, 5.0)
+    precision = _match_frac(nat, gt, 5.0)
+    assert recall > 0.85, recall
+    assert precision > 0.95, precision
+
+    # the axis-aligned variant demonstrably misses the rotated net
+    axis = detect_junctions(img, grid_area=grid_area, rotated=False)
+    assert _match_frac(gt, axis, 5.0) < recall - 0.2
