@@ -53,6 +53,19 @@ from ..core.resize import resize_bilinear, _interp_matrix
 OPTFLOW_USE_INITIAL_FLOW = 4
 OPTFLOW_FARNEBACK_GAUSSIAN = 256
 
+# TPU fast path: block-patch Pallas warp (ops/blockwarp.py) instead of the
+# per-pixel XLA gather.  The gather is exact but runs at a measured ~11 ns/row
+# floor (~95% of field time at 720p); the block warp is exact for every pixel
+# whose integer displacement is within BLOCK_WARP_SLACK of its block mean.
+# Set BLOCK_WARP = False to force the exact gather on TPU (e.g. for parity
+# debugging).
+BLOCK_WARP = True
+BLOCK_WARP_BLOCK = (16, 128)  # Mosaic tiling wants (8k, 128k) blocks
+BLOCK_WARP_SLACK = 3
+BLOCK_WARP_PAD = (40, 192)  # (pad_y, pad_x): room for the tile-aligned patch + displacement range
+BLOCK_WARP_DTYPE = jnp.bfloat16  # patch DMA dtype; accumulation stays fp32
+BLOCK_WARP_INTERPRET = False  # tests: run the Pallas kernel interpreted on CPU
+
 # Edge ramp (5 px) applied to the expansion coefficients near image borders
 # before the normal equations are accumulated, so border pixels contribute
 # less to the blurred G/h fields.
@@ -183,6 +196,136 @@ def _border_weight(H: int, W: int, ramp: np.ndarray) -> np.ndarray:
         wy[i] *= ramp[i]
         wy[H - 1 - i] *= ramp[i]
     return wy[:, None] * wx[None, :]
+
+
+# --------------------------------------------- plane-major TPU fast path
+
+def _replicate_rows(M: np.ndarray, rows_core: int, pad: int) -> np.ndarray:
+    """Extend an output-side operator matrix to emit replicate-padded (and
+    rounded-up) rows: row i of the result equals row clip(i - pad, 0, H-1) of
+    ``M``.  Folding the pad into the poly-expansion matrices makes the padded
+    source planes for the block warp FREE (same matmul, taller matrix)."""
+    idx = np.clip(np.arange(rows_core + 2 * pad) - pad, 0, M.shape[0] - 1)
+    return np.ascontiguousarray(M[idx])
+
+
+def _poly_planes(img: jax.Array, n: int, sigma: float,
+                 pad_y: int, pad_x: int,
+                 rows_out: int, cols_out: int) -> jax.Array:
+    """Polynomial expansion as plane-major
+    [..., 5, rows_out+2*pad_y, cols_out+2*pad_x] (replicate-extended beyond
+    the image; rows_out/cols_out >= H/W round the grid up to the warp block
+    size).  Channel order matches poly_exp: (bx, by, axx, ayy, qxy)."""
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_inverse(n, float(sigma))
+    H, W = img.shape[-2], img.shape[-1]
+    Vs = [
+        jnp.asarray(_replicate_rows(
+            _border_conv_matrix(H, np.asarray(k, np.float64).tobytes(), "replicate"),
+            rows_out, pad_y))
+        for k in (g, xg, xxg)
+    ]
+    Hs = [
+        jnp.asarray(_replicate_rows(
+            _border_conv_matrix(W, np.asarray(k, np.float64).tobytes(), "replicate"),
+            cols_out, pad_x))
+        for k in (g, xg, xxg)
+    ]
+    Vg, Vxg, Vxxg = Vs
+    Hg, Hxg, Hxxg = Hs
+    mm = functools.partial(jnp.einsum, precision="float32",
+                           preferred_element_type=jnp.float32)
+    tg = mm("oh,...hw->...ow", Vg, img)
+    txg = mm("oh,...hw->...ow", Vxg, img)
+    txxg = mm("oh,...hw->...ow", Vxxg, img)
+    s0 = mm("...hw,pw->...hp", tg, Hg)
+    sx = mm("...hw,pw->...hp", tg, Hxg)
+    sxx = mm("...hw,pw->...hp", tg, Hxxg)
+    sy = mm("...hw,pw->...hp", txg, Hg)
+    sxy = mm("...hw,pw->...hp", txg, Hxg)
+    syy = mm("...hw,pw->...hp", txxg, Hg)
+    bx = ig11 * sx
+    by = ig11 * sy
+    axx = ig03 * s0 + ig33 * sxx
+    ayy = ig03 * s0 + ig33 * syy
+    qxy = ig55 * sxy
+    return jnp.stack([bx, by, axx, ayy, qxy], axis=-3)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _update_matrices_planes(R0: jax.Array, R1pad: jax.Array,
+                            u: jax.Array, v: jax.Array) -> jax.Array:
+    """Plane-major normal equations [B, 5, H, W] using the block-patch warp
+    kernel for the R1 sampling (semantics identical to _update_matrices; the
+    inb/border logic is recomputed exactly here)."""
+    from ..ops.blockwarp import block_warp_bilinear
+
+    B, _, H, W = R0.shape
+    bh, bw = BLOCK_WARP_BLOCK
+    H16, W16 = _round_up(H, bh), _round_up(W, bw)
+
+    up = jnp.pad(u, ((0, 0), (0, H16 - H), (0, W16 - W)), mode="edge")
+    vp = jnp.pad(v, ((0, 0), (0, H16 - H), (0, W16 - W)), mode="edge")
+    R1s = block_warp_bilinear(
+        R1pad, up, vp,
+        block=BLOCK_WARP_BLOCK, slack=BLOCK_WARP_SLACK, pad=BLOCK_WARP_PAD,
+        src_padded=True, compute_dtype=BLOCK_WARP_DTYPE,
+        interpret=BLOCK_WARP_INTERPRET,
+    )[..., :H, :W]
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    fx = xs + u
+    fy = ys + v
+    x0i = jnp.floor(fx).astype(jnp.int32)
+    y0i = jnp.floor(fy).astype(jnp.int32)
+    inb = (x0i >= 0) & (x0i < W - 1) & (y0i >= 0) & (y0i < H - 1)
+
+    axx = jnp.where(inb, (R0[:, 2] + R1s[:, 2]) * 0.5, R0[:, 2])
+    ayy = jnp.where(inb, (R0[:, 3] + R1s[:, 3]) * 0.5, R0[:, 3])
+    axy = jnp.where(inb, (R0[:, 4] + R1s[:, 4]) * 0.25, R0[:, 4] * 0.5)
+    dbx = jnp.where(inb, (R0[:, 0] - R1s[:, 0]) * 0.5, 0.0)
+    dby = jnp.where(inb, (R0[:, 1] - R1s[:, 1]) * 0.5, 0.0)
+    dbx = dbx + axx * u + axy * v
+    dby = dby + axy * u + ayy * v
+
+    bw_ = jnp.asarray(_border_weight(H, W, _BORDER_RAMP))
+    axx = axx * bw_
+    ayy = ayy * bw_
+    axy = axy * bw_
+    dbx = dbx * bw_
+    dby = dby * bw_
+
+    G00 = axx * axx + axy * axy
+    G01 = (axx + ayy) * axy
+    G11 = ayy * ayy + axy * axy
+    h1 = axx * dbx + axy * dby
+    h2 = axy * dbx + ayy * dby
+    return jnp.stack([G00, G01, G11, h1, h2], axis=-3)
+
+
+def _solve_flow_planes(M: jax.Array, winsize: int, gaussian: bool):
+    """[B, 5, H, W] -> (u, v) [B, H, W] (plane-major twin of _solve_flow)."""
+    H, W = M.shape[-2], M.shape[-1]
+    if gaussian:
+        m = winsize // 2
+        sigma = m * 0.3
+        k = np.exp(-0.5 * (np.arange(-m, m + 1) / sigma) ** 2)
+        k /= k.sum()
+    else:
+        k = np.ones(winsize, np.float64) / winsize
+    kb = np.asarray(k, np.float64).tobytes()
+    Bv = jnp.asarray(_border_conv_matrix(H, kb, "replicate"))
+    Bh = jnp.asarray(_border_conv_matrix(W, kb, "replicate"))
+    Mb = jnp.einsum("oh,...hw->...ow", Bv, M, preferred_element_type=jnp.float32)
+    Mb = jnp.einsum("...hw,pw->...hp", Mb, Bh, preferred_element_type=jnp.float32)
+    G00, G01, G11, h1, h2 = (Mb[:, c] for c in range(5))
+    idet = 1.0 / (G00 * G11 - G01 * G01 + 1e-3)
+    u = (G11 * h1 - G01 * h2) * idet
+    v = (G00 * h2 - G01 * h1) * idet
+    return u, v
 
 
 # ------------------------------------------------------------ per-iteration
@@ -336,6 +479,51 @@ def calc_optical_flow_farneback(
     use_init = bool(flags & OPTFLOW_USE_INITIAL_FLOW) and flow is not None
 
     n_levels = _num_levels(H, W, levels, pyr_scale)
+
+    if _on_tpu() and BLOCK_WARP:
+        # Plane-major fast path: block-patch Pallas warp, no gathers, no
+        # tap packing, poly planes emitted pre-padded by taller matrices.
+        batch_n = int(np.prod(batch, dtype=np.int64)) if batch else 1
+        prev_b = prev.reshape(batch_n, H, W)
+        next_b = next.reshape(batch_n, H, W)
+        bh, bwd = BLOCK_WARP_BLOCK
+        u = v = None
+        for k in range(n_levels, -1, -1):
+            scale = pyr_scale**k
+            lh, lw = _level_size(H, W, scale)
+            sigma = (1.0 / scale - 1.0) * 0.5
+            smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+            if u is None:
+                if use_init:
+                    f0 = flow.reshape(batch_n, H, W, 2)
+                    u = resize_bilinear(f0[..., 0], (lh, lw)) * scale
+                    v = resize_bilinear(f0[..., 1], (lh, lw)) * scale
+                else:
+                    u = jnp.zeros((batch_n, lh, lw), jnp.float32)
+                    v = jnp.zeros((batch_n, lh, lw), jnp.float32)
+            else:
+                u = resize_bilinear(u, (lh, lw)) / pyr_scale
+                v = resize_bilinear(v, (lh, lw)) / pyr_scale
+            Cv, Ch = _prep_matrices(H, W, lh, lw, smooth_sz, sigma)
+            Cv = jnp.asarray(Cv)
+            Ch = jnp.asarray(Ch)
+
+            def prep(img):
+                t = jnp.einsum("oh,...hw->...ow", Cv, img,
+                               preferred_element_type=jnp.float32)
+                return jnp.einsum("...hw,pw->...hp", t, Ch,
+                                  preferred_element_type=jnp.float32)
+
+            R0 = _poly_planes(prep(prev_b), poly_n, poly_sigma, 0, 0, lh, lw)
+            pad_y, pad_x = BLOCK_WARP_PAD
+            R1p = _poly_planes(prep(next_b), poly_n, poly_sigma,
+                               pad_y, pad_x, _round_up(lh, bh),
+                               _round_up(lw, bwd))
+            for _ in range(iterations):
+                M = _update_matrices_planes(R0, R1p, u, v)
+                u, v = _solve_flow_planes(M, winsize, use_gauss)
+        return jnp.stack([u, v], axis=-1).reshape(batch + (H, W, 2))
+
     cur_flow = None
     for k in range(n_levels, -1, -1):
         scale = pyr_scale**k

@@ -1,0 +1,119 @@
+"""Block-patch warp kernel: interpret-mode kernel == lax reference ==
+exact bilinear on in-bounds pixels; Farneback's block path stays cv2-parity.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from opticalflowcontainer_tpu.ops.blockwarp import (
+    block_warp_bilinear,
+    block_warp_bilinear_reference,
+)
+
+
+def _exact_bilinear(src, u, v):
+    """cv2-style exact warp: tap base clamped into the image, weights kept."""
+    B, C, H, W = src.shape
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    fy = yy[None] + v
+    fx = xx[None] + u
+    y0 = np.floor(fy).astype(int)
+    x0 = np.floor(fx).astype(int)
+    wy = fy - y0
+    wx = fx - x0
+    y0c = np.clip(y0, 0, H - 2)
+    x0c = np.clip(x0, 0, W - 2)
+    out = np.zeros_like(src)
+    for b in range(B):
+        s = src[b]
+        t00 = s[:, y0c[b], x0c[b]]
+        t01 = s[:, y0c[b], x0c[b] + 1]
+        t10 = s[:, y0c[b] + 1, x0c[b]]
+        t11 = s[:, y0c[b] + 1, x0c[b] + 1]
+        out[b] = (t00 * (1 - wx[b]) * (1 - wy[b]) + t01 * wx[b] * (1 - wy[b])
+                  + t10 * (1 - wx[b]) * wy[b] + t11 * wx[b] * wy[b])
+    return out
+
+
+def _inb(u, v, H, W):
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    y0 = np.floor(yy[None] + v)
+    x0 = np.floor(xx[None] + u)
+    return (x0 >= 0) & (x0 < W - 1) & (y0 >= 0) & (y0 < H - 1)
+
+
+@pytest.mark.parametrize("flow", ["const", "big", "smooth"])
+def test_kernel_matches_reference_and_exact(flow, rng):
+    B, C, H, W = 2, 5, 48, 256
+    src = rng.normal(size=(B, C, H, W)).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    if flow == "const":
+        u = np.full((B, H, W), 2.3, np.float32)
+        v = np.full((B, H, W), -1.7, np.float32)
+    elif flow == "big":
+        u = np.full((B, H, W), 11.6, np.float32)
+        v = np.full((B, H, W), 7.2, np.float32)
+    else:
+        u = np.repeat((2.0 + 1.5 * np.sin(2 * np.pi * yy / H))[None], B, 0)
+        v = np.repeat((-1.0 + np.cos(2 * np.pi * xx / W))[None], B, 0)
+        u = u.astype(np.float32)
+        v = v.astype(np.float32)
+
+    ref = np.asarray(block_warp_bilinear_reference(
+        jnp.asarray(src), jnp.asarray(u), jnp.asarray(v)))
+    ker = np.asarray(block_warp_bilinear(
+        jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), interpret=True))
+    np.testing.assert_allclose(ker, ref, atol=1e-5)
+
+    exact = _exact_bilinear(src, u, v)
+    m = np.broadcast_to(_inb(u, v, H, W)[:, None], ref.shape)
+    np.testing.assert_allclose(ref[m], exact[m], atol=1e-4)
+
+
+def test_bf16_compute_dtype_close(rng):
+    B, C, H, W = 1, 5, 32, 128
+    src = rng.normal(size=(B, C, H, W)).astype(np.float32)
+    u = np.full((B, H, W), 1.3, np.float32)
+    v = np.full((B, H, W), -0.4, np.float32)
+    f32 = np.asarray(block_warp_bilinear(
+        jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), interpret=True))
+    bf16 = np.asarray(block_warp_bilinear(
+        jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), interpret=True,
+        compute_dtype=jnp.bfloat16))
+    assert np.abs(bf16 - f32).max() < 0.05
+
+
+def test_farneback_block_path_cv2_parity(rng, monkeypatch):
+    cv2 = pytest.importorskip("cv2")
+    import opticalflowcontainer_tpu.classical.farneback as fb
+
+    H, W = 96, 128
+    base = rng.uniform(0, 255, (H + 16, W + 16)).astype(np.float32)
+    a = base[8 : 8 + H, 8 : 8 + W]
+    b = base[8 : 8 + H, 5 : 5 + W]  # 3 px horizontal shift
+    kw = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+              poly_n=5, poly_sigma=1.2)
+    ref = cv2.calcOpticalFlowFarneback(
+        a.astype(np.uint8), b.astype(np.uint8), None, **kw, flags=0)
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "_on_tpu", lambda: True)
+    got = np.asarray(fb.calc_optical_flow_farneback(
+        jnp.asarray(a.astype(np.uint8), jnp.float32),
+        jnp.asarray(b.astype(np.uint8), jnp.float32), **kw))
+    epe = np.linalg.norm(got - ref, axis=-1)
+    assert epe.mean() < 0.02, epe.mean()
+
+    # exact-path agreement (the block warp's only approximation is the
+    # per-block clamped window)
+    exact = np.asarray(fb.calc_optical_flow_farneback(
+        jnp.asarray(a.astype(np.uint8), jnp.float32),
+        jnp.asarray(b.astype(np.uint8), jnp.float32), **kw))
+    monkeypatch.setattr(fb, "_on_tpu", lambda: False)
+    exact = np.asarray(fb.calc_optical_flow_farneback(
+        jnp.asarray(a.astype(np.uint8), jnp.float32),
+        jnp.asarray(b.astype(np.uint8), jnp.float32), **kw))
+    d = np.linalg.norm(got - exact, axis=-1)
+    assert d.mean() < 5e-3 and d.max() < 0.05, (d.mean(), d.max())
