@@ -51,12 +51,19 @@ def sample_bilinear_zeros(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Arr
 
     TPU path: the gather engine's cost is per gathered row, so the four taps
     are packed into one 4C-channel row and fetched with a single gather from a
-    zero-ring-padded image (4x fewer gathered rows than four tap gathers)."""
+    zero-ring-padded image (4x fewer gathered rows than four tap gathers).
+
+    Coordinate math is always fp32 (bf16 coords would quantize pixel
+    positions); tap values and blend weights follow the image dtype, so bf16
+    images warp at bf16 cost."""
     H, W = img.shape[-3], img.shape[-2]
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0)[..., None]
-    wy = (y - y0)[..., None]
+    wx = (x - x0)[..., None].astype(img.dtype)
+    wy = (y - y0)[..., None].astype(img.dtype)
+    one = jnp.ones((), img.dtype)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
@@ -82,25 +89,27 @@ def sample_bilinear_zeros(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Arr
         g = jnp.stack(
             [jnp.take_along_axis(src[b], lin[b], axis=0) for b in range(B)]
         ).reshape(batch + (h, w, 4, C))
-        ok = lambda iy, ix: ((iy >= 0) & (iy < H) & (ix >= 0) & (ix < W))[..., None]
+        ok = lambda iy, ix: (
+            ((iy >= 0) & (iy < H) & (ix >= 0) & (ix < W))[..., None]
+        ).astype(img.dtype)
         return (
-            g[..., 0, :] * (1 - wx) * (1 - wy) * ok(y0i, x0i)
-            + g[..., 1, :] * wx * (1 - wy) * ok(y0i, x0i + 1)
-            + g[..., 2, :] * (1 - wx) * wy * ok(y0i + 1, x0i)
+            g[..., 0, :] * (one - wx) * (one - wy) * ok(y0i, x0i)
+            + g[..., 1, :] * wx * (one - wy) * ok(y0i, x0i + 1)
+            + g[..., 2, :] * (one - wx) * wy * ok(y0i + 1, x0i)
             + g[..., 3, :] * wx * wy * ok(y0i + 1, x0i + 1)
         )
 
     out = None
     for dy, dx, w in (
-        (0, 0, (1 - wx) * (1 - wy)),
-        (0, 1, wx * (1 - wy)),
-        (1, 0, (1 - wx) * wy),
+        (0, 0, (one - wx) * (one - wy)),
+        (0, 1, wx * (one - wy)),
+        (1, 0, (one - wx) * wy),
         (1, 1, wx * wy),
     ):
         ix, iy = x0i + dx, y0i + dy
         valid = ((ix >= 0) & (ix < W) & (iy >= 0) & (iy < H))[..., None]
         v = _gather_hw(img, jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1))
-        term = jnp.where(valid, v * w, 0.0)
+        term = jnp.where(valid, v * w, jnp.zeros((), img.dtype))
         out = term if out is None else out + term
     return out
 
@@ -109,12 +118,12 @@ def sample_bilinear_edge(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Arra
     """Bilinear sample with edge clamping (border replicate) — used by the
     classical-flow stack where OpenCV clamps instead of zero-padding."""
     H, W = img.shape[-3], img.shape[-2]
-    x = jnp.clip(x, 0.0, W - 1.0)
-    y = jnp.clip(y, 0.0, H - 1.0)
+    x = jnp.clip(x.astype(jnp.float32), 0.0, W - 1.0)
+    y = jnp.clip(y.astype(jnp.float32), 0.0, H - 1.0)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0)[..., None]
-    wy = (y - y0)[..., None]
+    wx = (x - x0)[..., None].astype(img.dtype)
+    wy = (y - y0)[..., None].astype(img.dtype)
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
     x1i = jnp.clip(x0i + 1, 0, W - 1)
@@ -145,8 +154,8 @@ def warp_bilinear(img: jax.Array, flow: jax.Array, padding: str = "zeros") -> ja
     """
     H, W = img.shape[-3], img.shape[-2]
     xs, ys = _base_grid(H, W)
-    x = xs + flow[..., 0]
-    y = ys + flow[..., 1]
+    x = xs + flow[..., 0].astype(jnp.float32)
+    y = ys + flow[..., 1].astype(jnp.float32)
     sampler = sample_bilinear_zeros if padding == "zeros" else sample_bilinear_edge
     return sampler(img, x, y)
 
@@ -175,8 +184,8 @@ def warp_half_pixel(img: jax.Array, flow: jax.Array) -> jax.Array:
     H, W = img.shape[-3], img.shape[-2]
     sx = W / (W - 1.0) if W > 1 else 1.0
     sy = H / (H - 1.0) if H > 1 else 1.0
-    scale = jnp.asarray([sx, sy], img.dtype)
-    return warp_bilinear(img, flow * scale, padding="zeros")
+    scale = jnp.asarray([sx, sy], jnp.float32)
+    return warp_bilinear(img, flow.astype(jnp.float32) * scale, padding="zeros")
 
 
 def warp_with_mask(img: jax.Array, flow: jax.Array) -> jax.Array:
@@ -185,7 +194,7 @@ def warp_with_mask(img: jax.Array, flow: jax.Array) -> jax.Array:
     ones = jnp.ones(img.shape[:-1] + (1,), img.dtype)
     both = jnp.concatenate([img, ones], axis=-1)
     warped = warp_bilinear(both, flow, padding="zeros")
-    mask = (warped[..., -1:] > 0.999).astype(img.dtype)
+    mask = (warped[..., -1:].astype(jnp.float32) > 0.999).astype(img.dtype)
     return warped[..., :-1] * mask
 
 
