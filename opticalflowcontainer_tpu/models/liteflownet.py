@@ -154,7 +154,8 @@ class LiteFlowNet(nn.Module):
             flow = Regularization(lvl, name=f"regularization{lvl}")(
                 im1[i], im2[i], feats1[i], flow
             )
-        return flow * 20.0
+        # flow leaves the net in fp32 regardless of serving dtype
+        return flow.astype(jnp.float32) * 20.0
 
 
 def _pad_to(x: int, mult: int) -> int:

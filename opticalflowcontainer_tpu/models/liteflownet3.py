@@ -161,7 +161,8 @@ class LiteFlowNet3(nn.Module):
             )
             if rconf is not None:
                 conf = rconf
-        return flow * 20.0
+        # flow leaves the net in fp32 regardless of serving dtype
+        return flow.astype(jnp.float32) * 20.0
 
 
 def _pad_to(x: int, mult: int) -> int:

@@ -42,8 +42,12 @@ class NeuFlowLite(nn.Module):
     iters: int = 2
 
     @nn.compact
-    def __call__(self, img1, img2):
-        """img1/img2 [H, W, 3] in [0,1], H/W multiples of 16 -> flow [H, W, 2]."""
+    def __call__(self, img1, img2, return_aux: bool = False):
+        """img1/img2 [H, W, 3] in [0,1], H/W multiples of 16 -> flow [H, W, 2].
+
+        ``return_aux=True`` also returns the pre-refinement global-matching
+        flow at full resolution (training supervises it so the matching stage
+        learns instead of hiding behind the refiner)."""
         backbone = [
             _Down(16, name="down1"),   # 1/2
             _Down(32, name="down2"),   # 1/4
@@ -67,14 +71,21 @@ class NeuFlowLite(nn.Module):
         g2 = Conv(96, kernel=1, padding=0, name="proj2")(f2[3])
         Hc, Wc = g1.shape[0], g1.shape[1]
         vol = all_pairs_correlation(g1, g2).reshape(Hc, Wc, Hc * Wc)
-        att = jax.nn.softmax(vol * 4.0, axis=-1)
+        # soft-argmax in fp32: coordinates and attention need full precision
+        att = jax.nn.softmax(vol.astype(jnp.float32) * 4.0, axis=-1)
         ty = jnp.arange(Hc * Wc, dtype=jnp.float32) // Wc
         tx = jnp.arange(Hc * Wc, dtype=jnp.float32) % Wc
         ey = jnp.sum(att * ty, axis=-1)
         ex = jnp.sum(att * tx, axis=-1)
         ys = jax.lax.broadcasted_iota(jnp.float32, (Hc, Wc), 0)
         xs = jax.lax.broadcasted_iota(jnp.float32, (Hc, Wc), 1)
-        flow16 = jnp.stack([ex - xs, ey - ys], axis=-1)
+        # zero-init learnable gate: at init the soft-argmax is near-uniform and
+        # its expectation is a centroid-bias field far outside the refiner's
+        # +-4-cell range; gating it lets training start from zero flow and
+        # phase global matching in once the projections are informative.
+        gate = self.param("matching_gate", nn.initializers.zeros, (1,),
+                          jnp.float32)
+        flow16 = jnp.stack([ex - xs, ey - ys], axis=-1) * gate
 
         # --- local refinement at 1/8 ---
         H8, W8 = f1[2].shape[0], f1[2].shape[1]
@@ -83,10 +94,35 @@ class NeuFlowLite(nn.Module):
         for _ in range(self.iters):
             warped = warp_bilinear(f2[2], flow)
             corr = leaky(local_correlation(f1[2], warped, max_disp=4))
-            x = jnp.concatenate([corr, f1[2], flow], axis=-1)
+            x = jnp.concatenate(
+                [corr, f1[2], flow.astype(f1[2].dtype)], axis=-1)
             x = leaky(refiner[0](x))
             x = leaky(refiner[1](x))
-            flow = flow + refiner[2](x)
+            # the flow field itself stays fp32 (coordinate precision)
+            flow = flow + refiner[2](x).astype(jnp.float32)
 
         H, W = img1.shape[0], img1.shape[1]
-        return resize_bilinear(flow, (H, W), channel_last=True) * 8.0
+        out = resize_bilinear(flow, (H, W), channel_last=True) * 8.0
+        if return_aux:
+            aux = resize_bilinear(flow16, (H, W), channel_last=True) * 16.0
+            return out, aux
+        return out
+
+
+def load_neuflow_lite_synth():
+    """Load the packaged NeuFlowLite checkpoint (trained on synthetic affine
+    flows on TPU — the weight-loading story for the NeuFlow capability; the
+    reference loads HF safetensors, neuflow_node.py:38, which this sandbox
+    cannot download).  Returns (model, params) or None when absent."""
+    import os
+
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    path = os.path.join(os.path.dirname(__file__), "weights",
+                        "neuflow_lite_synth.npz")
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+    tree = unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
+    return NeuFlowLite(), {"params": tree}

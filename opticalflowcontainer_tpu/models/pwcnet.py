@@ -99,7 +99,8 @@ class PWCNet(nn.Module):
             prev = (flow, feat)
         flow, feat = prev
         flow = flow + Refiner(name="refiner")(feat)
-        return flow * 20.0
+        # flow leaves the net in fp32 regardless of serving dtype
+        return flow.astype(jnp.float32) * 20.0
 
 
 def _pad_to(x: int, mult: int) -> int:

@@ -139,10 +139,10 @@ class SmallMotionEncoder(nn.Module):
     @nn.compact
     def __call__(self, flow, corr):
         c = nn.relu(Conv(96, kernel=1, padding=0, name="convc1")(corr))
-        f = nn.relu(Conv(64, kernel=7, name="convf1")(flow))
+        f = nn.relu(Conv(64, kernel=7, name="convf1")(flow.astype(corr.dtype)))
         f = nn.relu(Conv(32, name="convf2")(f))
         out = nn.relu(Conv(80, name="conv")(jnp.concatenate([c, f], axis=-1)))
-        return jnp.concatenate([out, flow], axis=-1)  # 82
+        return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)  # 82
 
 
 class MotionEncoder(nn.Module):
@@ -152,10 +152,10 @@ class MotionEncoder(nn.Module):
     def __call__(self, flow, corr):
         c = nn.relu(Conv(256, kernel=1, padding=0, name="convc1")(corr))
         c = nn.relu(Conv(192, name="convc2")(c))
-        f = nn.relu(Conv(128, kernel=7, name="convf1")(flow))
+        f = nn.relu(Conv(128, kernel=7, name="convf1")(flow.astype(corr.dtype)))
         f = nn.relu(Conv(64, name="convf2")(f))
         out = nn.relu(Conv(126, name="conv")(jnp.concatenate([c, f], axis=-1)))
-        return jnp.concatenate([out, flow], axis=-1)  # 128
+        return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)  # 128
 
 
 class FlowHead(nn.Module):
@@ -202,7 +202,7 @@ class _RAFTBase(nn.Module):
         """Learned convex-combination 8x upsampling (RAFT-large)."""
         Hc, Wc = flow.shape[0], flow.shape[1]
         mask = self.mask_conv2(nn.relu(self.mask_conv1(h))) * 0.25
-        mask = mask.reshape(Hc, Wc, 8, 8, 9)
+        mask = mask.reshape(Hc, Wc, 8, 8, 9).astype(jnp.float32)
         mask = jax.nn.softmax(mask, axis=-1)
         from ..ops import unfold
 
@@ -227,14 +227,15 @@ class _RAFTBase(nn.Module):
 
         flows = []
         for _ in range(iters):
-            corr = corr_lookup(pyr, flow, self.corr_radius)
+            corr = corr_lookup(pyr, flow, self.corr_radius).astype(f1.dtype)
             m = self.motion(flow, corr)
             # [context, motion] — torchvision/official RAFT input order, so a
             # converted torchvision checkpoint drops in without channel
             # scrambling (the packaged synth weights were permuted to match).
             h = self.gru(h, jnp.concatenate([ctx, m], axis=-1))
             delta = self.head(h)
-            flow = flow + delta
+            # the flow field itself stays fp32 (coordinate precision)
+            flow = flow + delta.astype(jnp.float32)
             if self.small:
                 flows.append(_upsample8_bilinear(flow))
             else:

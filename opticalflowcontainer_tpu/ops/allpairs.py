@@ -115,6 +115,54 @@ def _bilinear_volume_sample(vol: jax.Array, x: jax.Array, y: jax.Array) -> jax.A
     )
 
 
+def _window_volume_sample_rows(vol: jax.Array, cx: jax.Array, cy: jax.Array,
+                               r: int) -> jax.Array:
+    """Windowed bilinear volume sample around per-pixel centers (cx, cy)
+    [H, W] -> [H, W, (2r+1)^2], zeros outside, row-major (dy, dx).
+
+    All (2r+1)^2 window taps of one pixel share a single fractional offset
+    (the offsets are integers), so instead of (2r+1)^2 per-tap gathers this
+    fetches the 2r+3 consecutive FULL target-width y-rows of each pixel's
+    volume plane (one row gather each — ~6x fewer gathered rows, the measured
+    per-row cost being flat in row width), combines the y-bilinear pairs
+    elementwise, and contracts the x-window as a per-pixel one-hot matmul on
+    the MXU (the one-hot carries the x-bilinear weights and the zero-outside
+    masking)."""
+    H, W, H2, W2 = vol.shape
+    P = H * W
+    n = 2 * r + 1
+    x0 = jnp.floor(cx).astype(jnp.int32)
+    y0 = jnp.floor(cy).astype(jnp.int32)
+    wx = (cx - x0.astype(jnp.float32)).reshape(P)
+    wy = (cy - y0.astype(jnp.float32)).reshape(P)
+
+    # y taps y0 - r .. y0 + r + 1 (n + 1 consecutive rows)
+    ytap = y0.reshape(P, 1) + jnp.arange(-r, r + 2, dtype=jnp.int32)[None]
+    ymask = (ytap >= 0) & (ytap < H2)
+    lin = (
+        jnp.arange(P, dtype=jnp.int32)[:, None] * H2
+        + jnp.clip(ytap, 0, H2 - 1)
+    ).reshape(P * (n + 1), 1)
+    src = vol.astype(jnp.bfloat16).reshape(P * H2, W2)
+    rows = (
+        jnp.take_along_axis(src, lin, axis=0)
+        .astype(jnp.float32)
+        .reshape(P, n + 1, W2)
+    )
+    rows = rows * ymask[..., None].astype(jnp.float32)
+    vy = rows[:, :n] * (1.0 - wy)[:, None, None] + rows[:, 1:] * wy[:, None, None]
+
+    # x-window one-hot (bilinear weights + zero-outside folded in)
+    base = (x0.reshape(P) - r)[:, None, None]  # leftmost integer tap
+    xs = jnp.arange(W2, dtype=jnp.int32)[None, :, None]
+    dxs = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    Sx = (xs == base + dxs).astype(jnp.float32) * (1.0 - wx)[:, None, None] + (
+        xs == base + dxs + 1
+    ).astype(jnp.float32) * wx[:, None, None]
+    out = jnp.einsum("pdx,pxe->pde", vy, Sx, preferred_element_type=jnp.float32)
+    return out.reshape(H, W, n * n)
+
+
 def corr_lookup(
     pyramid: list[jax.Array], flow: jax.Array, radius: int = 4
 ) -> jax.Array:
@@ -125,13 +173,21 @@ def corr_lookup(
     """
     H, W = flow.shape[0], flow.shape[1]
     r = radius
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    cx = xs + flow[..., 0].astype(jnp.float32)
+    cy = ys + flow[..., 1].astype(jnp.float32)
+    if _on_tpu():
+        return jnp.concatenate(
+            [
+                _window_volume_sample_rows(vol, cx * 0.5**l, cy * 0.5**l, r)
+                for l, vol in enumerate(pyramid)
+            ],
+            axis=-1,
+        )
     oy, ox = np.mgrid[-r : r + 1, -r : r + 1]
     oy = jnp.asarray(oy.reshape(-1), jnp.float32)
     ox = jnp.asarray(ox.reshape(-1), jnp.float32)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    cx = xs + flow[..., 0]
-    cy = ys + flow[..., 1]
     feats = []
     for lvl, vol in enumerate(pyramid):
         scale = 0.5**lvl

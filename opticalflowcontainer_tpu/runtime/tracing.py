@@ -47,3 +47,38 @@ def device_memory_stats() -> list[dict]:
             }
         )
     return out
+
+
+def start_memory_monitor(path: str, interval: float = 1.0):
+    """Sample per-device HBM usage at ``interval`` seconds into a CSV from a
+    daemon thread — the accelerator leg of the reference's monitor.sh
+    (scripts/monitor.sh:67 runs ``nvidia-smi pmon`` per node PID; a TPU is
+    process-exclusive, so the equivalent sampler must live INSIDE the
+    workload process; tools/monitor.py covers the host-CPU leg externally).
+
+    Returns a ``stop()`` callable that ends sampling and closes the file."""
+    import threading
+    import time
+
+    stop_event = threading.Event()
+    f = open(path, "w")
+    f.write("timestamp,device,bytes_in_use,peak_bytes_in_use,bytes_limit\n")
+
+    def run():
+        while not stop_event.is_set():
+            now = time.time()
+            for s in device_memory_stats():
+                f.write(
+                    f"{now:.3f},{s['device']},{s['bytes_in_use']},"
+                    f"{s['peak_bytes_in_use']},{s['bytes_limit']}\n"
+                )
+            f.flush()
+            stop_event.wait(interval)
+        f.close()
+
+    threading.Thread(target=run, daemon=True).start()
+
+    def stop():
+        stop_event.set()
+
+    return stop

@@ -2,6 +2,14 @@
 sample CPU% and RSS of named processes at 1 Hz into per-process CSV logs.
 
 Usage: python -m opticalflowcontainer_tpu.tools.monitor name1 name2 --duration 60
+
+Accelerator leg: the reference samples GPUs externally with ``nvidia-smi
+pmon`` (monitor.sh:67).  A TPU is process-exclusive — an external sampler
+cannot attach without stealing the device — so the accelerator leg runs
+INSIDE the workload: call
+``runtime.tracing.start_memory_monitor("accel_usage.log")`` in the monitored
+process (per-device HBM in-use/peak/limit at 1 Hz), and run this tool for the
+host-CPU leg alongside.
 """
 from __future__ import annotations
 
