@@ -36,6 +36,8 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=None)
     ap.add_argument("--check-epe", action="store_true",
                     help="also verify EPE vs cv2 on the device path")
+    ap.add_argument("--no-stream", action="store_true",
+                    help="skip the streaming p50-latency leg")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -116,6 +118,38 @@ def main(argv=None):
     }
     if epe is not None:
         record["epe_vs_cv2_px"] = round(epe, 5)
+
+    if not args.no_stream:
+        # Streaming leg: per-frame latency of the fused ingest->flow->velocity
+        # device program at the reference's camera operating point
+        # (BASELINE.md "p50 frame latency" metric row).
+        from opticalflowcontainer_tpu.runtime.fused import (
+            measure_device_stream_ms,
+            measure_stream_latency,
+        )
+
+        n = 12 if args.quick else 60
+        fb = dict(levels=3, winsize=15, iterations=3)
+        # latency-optimal mode: sync each frame (p50 = device + 1 host RTT)
+        lat = measure_stream_latency(height=480, width=640, fps=15.0,
+                                     n_frames=n, sync_every=1, **fb)
+        # rate-holding mode through the tunnel: micro-batched syncs (K=2)
+        sus = measure_stream_latency(height=480, width=640, fps=15.0,
+                                     n_frames=n, sync_every=2, **fb)
+        dev_ms = measure_device_stream_ms(height=480, width=640,
+                                          n_steps=10 if args.quick else 30, **fb)
+        record["stream_640x480_p50_latency_ms"] = round(lat["p50_ms"], 2)
+        record["stream_640x480_p99_latency_ms"] = round(lat["p99_ms"], 2)
+        record["stream_640x480_sustained_fps"] = round(sus["sustained_fps"], 1)
+        record["stream_held_15fps"] = sus["held_rate"]
+        record["stream_device_ms_per_frame"] = round(dev_ms, 2)
+        if not args.json_only:
+            print(f"# stream 640x480@15: p50 {lat['p50_ms']:.1f} ms / "
+                  f"p99 {lat['p99_ms']:.1f} ms (per-frame sync); sustained "
+                  f"{sus['sustained_fps']:.1f} fps (sync_every=2, held="
+                  f"{sus['held_rate']}); device {dev_ms:.2f} ms/frame",
+                  file=sys.stderr)
+
     print(json.dumps(record))
     return 0
 

@@ -84,25 +84,51 @@ class KittiFlowDataset:
         )
 
 
-def synthetic_eval_pairs(n: int = 8, H: int = 128, W: int = 160, seed: int = 0):
+def synthetic_eval_pairs(n: int = 8, H: int = 128, W: int = 160, seed: int = 0,
+                         hard: bool = False):
     """Warped-noise pairs with exact ground truth (affine flows) — the
-    always-available eval set."""
+    always-available eval set.
+
+    ``hard=True`` is the regime where brightness-constancy methods break:
+    displacements up to ~16 px (beyond the Farneback pyramid's comfortable
+    range at this size), stronger rotation/zoom, a global illumination change
+    on the second frame (gain + offset), and sensor noise on both frames.
+    Learned models trained with photometric augmentation keep working here;
+    this is the suite that motivates the learned zoo over the classical path.
+    """
     import cv2
 
     rng = np.random.default_rng(seed)
+    pad = 48 if hard else 32
     out = []
     for i in range(n):
         base = cv2.GaussianBlur(
-            rng.uniform(0, 255, (H + 64, W + 64)).astype(np.float32), (0, 0), 2.0
+            rng.uniform(0, 255, (H + 2 * pad, W + 2 * pad)).astype(np.float32),
+            (0, 0), 2.0,
         )
-        ang = rng.uniform(-2, 2)
-        scale = rng.uniform(0.98, 1.02)
-        tx, ty = rng.uniform(-4, 4, 2)
-        M = cv2.getRotationMatrix2D((W / 2 + 32, H / 2 + 32), ang, scale)
+        if hard:
+            # finer second texture layer: sharper content, more aliasing
+            base = 0.7 * base + 0.3 * cv2.GaussianBlur(
+                rng.uniform(0, 255, base.shape).astype(np.float32), (0, 0), 0.8
+            )
+            ang = rng.uniform(-8, 8)
+            scale = rng.uniform(0.92, 1.1)
+            tx, ty = rng.uniform(-16, 16, 2)
+        else:
+            ang = rng.uniform(-2, 2)
+            scale = rng.uniform(0.98, 1.02)
+            tx, ty = rng.uniform(-4, 4, 2)
+        M = cv2.getRotationMatrix2D((W / 2 + pad, H / 2 + pad), ang, scale)
         M[:, 2] += (tx, ty)
-        f1 = base[32 : 32 + H, 32 : 32 + W]
-        f2 = cv2.warpAffine(base, M, (W + 64, H + 64))[32 : 32 + H, 32 : 32 + W]
-        xs, ys = np.meshgrid(np.arange(W) + 32, np.arange(H) + 32)
+        f1 = base[pad : pad + H, pad : pad + W]
+        f2 = cv2.warpAffine(base, M, base.shape[::-1])[pad : pad + H, pad : pad + W]
+        if hard:
+            gain = rng.uniform(0.6, 1.4)
+            offset = rng.uniform(-25, 25)
+            f2 = np.clip(f2 * gain + offset, 0, 255)
+            f1 = np.clip(f1 + rng.normal(0, 4, f1.shape), 0, 255).astype(np.float32)
+            f2 = np.clip(f2 + rng.normal(0, 4, f2.shape), 0, 255).astype(np.float32)
+        xs, ys = np.meshgrid(np.arange(W) + pad, np.arange(H) + pad)
         # warpAffine: f2(p) = base(M^-1 p), so base point X appears in f2 at
         # p2 = M X  =>  forward flow(p1) = M p1 - p1
         x2 = M[0, 0] * xs + M[0, 1] * ys + M[0, 2]

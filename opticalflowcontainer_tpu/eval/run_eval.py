@@ -48,6 +48,22 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
                                            iters=4 if quick else 12))
 
             return run
+        if name == "neuflow":
+            from ..models import NeuFlowLite
+            from ..models.neuflow import estimate as nf_estimate
+            from ..models.neuflow import load_neuflow_lite_synth
+
+            loaded = load_neuflow_lite_synth()
+            model = loaded[0] if loaded else NeuFlowLite()
+
+            def run(img1, img2):
+                if not hasattr(run, "params"):
+                    run.params = loaded[1] if loaded else model.init(
+                        jax.random.PRNGKey(0), img1[:64, :64], img2[:64, :64]
+                    )
+                return np.asarray(nf_estimate(model, run.params, img1, img2))
+
+            return run
         if name == "pwcnet":
             from ..models import PWCNet
             from ..models.pwcnet import estimate as pwc_estimate
@@ -79,6 +95,9 @@ def main(argv=None):
     ap.add_argument("--sintel", default=None, help="MPI-Sintel root")
     ap.add_argument("--kitti", default=None, help="KITTI-2015 root")
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--hard", action="store_true",
+                    help="hard synthetic suite: large motion + illumination "
+                         "change + noise (brightness-constancy breaker)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -102,8 +121,8 @@ def main(argv=None):
         pairs = [data[i] for i in range(min(len(data), args.n))]
         src = "kitti"
     else:
-        pairs = synthetic_eval_pairs(args.n)
-        src = "synthetic"
+        pairs = synthetic_eval_pairs(args.n, hard=args.hard)
+        src = "synthetic-hard" if args.hard else "synthetic"
     if not pairs:
         raise SystemExit(f"no eval pairs found for {src}")
 

@@ -109,6 +109,19 @@ class NeuFlowLite(nn.Module):
         return out
 
 
+def estimate(model, params, img1: jax.Array, img2: jax.Array):
+    """Resize-to-multiple-of-16 / forward / resize-back / rescale contract
+    (the canonical pre/post sequence, reference lfn3_sub_node.py:181-199)."""
+    H, W = img1.shape[0], img1.shape[1]
+    Hp = ((H + 15) // 16) * 16
+    Wp = ((W + 15) // 16) * 16
+    i1 = resize_bilinear(img1, (Hp, Wp), channel_last=True)
+    i2 = resize_bilinear(img2, (Hp, Wp), channel_last=True)
+    flow = model.apply(params, i1, i2)
+    flow = resize_bilinear(flow, (H, W), channel_last=True)
+    return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)
+
+
 def load_neuflow_lite_synth():
     """Load the packaged NeuFlowLite checkpoint (trained on synthetic affine
     flows on TPU — the weight-loading story for the NeuFlow capability; the

@@ -42,6 +42,11 @@ from .nodes import (
     make_model_backend,
 )
 from .multistream import MultiStreamFlow, make_batched_farneback
+from .fused import (
+    FusedFarnebackStream,
+    make_fused_farneback_backend,
+    measure_stream_latency,
+)
 from .junction_tracking import JunctionTracker
 from .adaptive import AdaptiveParams, make_adaptive_backend
 from .velocity import VelocityEstimator
@@ -70,6 +75,9 @@ __all__ = [
     "make_model_backend",
     "MultiStreamFlow",
     "make_batched_farneback",
+    "FusedFarnebackStream",
+    "make_fused_farneback_backend",
+    "measure_stream_latency",
     "JunctionTracker",
     "AdaptiveParams",
     "make_adaptive_backend",

@@ -18,6 +18,7 @@ seconds and fires a joint callback on the latest arrival.
 from __future__ import annotations
 
 import collections
+import os
 import threading
 from typing import Callable, Sequence
 
@@ -74,9 +75,13 @@ class Bus:
     process — the in-process analogue of the reference's ROS_DOMAIN_ID
     partitioning (reference scripts/domainID.sh:1); separate Bus instances
     (and BusBridge host/port pairs) are fully isolated regardless.
+    ``namespace=None`` (default) reads ``$OFC_BUS_NAMESPACE`` — the
+    deployment-level domain selection (deploy/env.sh), empty if unset.
     """
 
-    def __init__(self, namespace: str = ""):
+    def __init__(self, namespace: str | None = None):
+        if namespace is None:
+            namespace = os.environ.get("OFC_BUS_NAMESPACE", "")
         self.namespace = namespace
         self._subs: dict[str, list[Subscription]] = {}
         self._lock = threading.Lock()

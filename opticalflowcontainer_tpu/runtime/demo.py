@@ -20,6 +20,9 @@ def main(argv=None):
     ap.add_argument("--velocity", type=float, default=0.05, help="ground truth m/s")
     ap.add_argument("--fps", type=float, default=30.0)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused device path: ingest->flow->velocity scalar "
+                         "in one program per frame (runtime.fused)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -42,8 +45,15 @@ def main(argv=None):
         velocity_mps=args.velocity,
         pixel_to_meter=pixel_to_meter,
     )
+    fb_kwargs = dict(levels=2, winsize=13, iterations=2)
+    if args.fused:
+        from .fused import make_fused_farneback_backend
+
+        backend = make_fused_farneback_backend(**fb_kwargs)
+    else:
+        backend = make_farneback_backend(**fb_kwargs)
     node = FlowNode(
-        make_farneback_backend(levels=2, winsize=13, iterations=2),
+        backend,
         NodeParams(width=args.width, height=args.height,
                    pixel_to_meter=pixel_to_meter, name="FARNEBACK"),
         bus,
@@ -52,7 +62,11 @@ def main(argv=None):
     # pre-warm: compile the backend before streaming so no frames are dropped
     # to jit latency (the reference warms its model in the node ctor too)
     f0, f1 = cam.frame_at(0), cam.frame_at(1)
-    node.backend(f0.mean(-1).astype("float32"), f1.mean(-1).astype("float32"), 1 / args.fps)
+    if args.fused:
+        backend.stream.warmup(f0)
+        backend.stream.reset()
+    else:
+        node.backend(f0.mean(-1).astype("float32"), f1.mean(-1).astype("float32"), 1 / args.fps)
 
     received = []
     bus.subscribe(
@@ -69,8 +83,11 @@ def main(argv=None):
     if not received:
         print("no velocities produced (all frames dropped?)")
         return 1
+    elapsed = time.time() - t0
     print(
-        f"processed {node.frames_processed} frames in {time.time() - t0:.2f}s; "
+        f"processed {node.frames_processed}/{args.frames} frames in {elapsed:.2f}s "
+        f"({node.frames_processed / elapsed:.1f} fps vs camera {args.fps:g}; "
+        f"dropped {args.frames - 1 - node.frames_processed}); "
         f"final smooth vx = {received[-1].x:+.4f} m/s vs gt {args.velocity:+.4f}"
     )
     err = abs(received[-1].x - args.velocity)

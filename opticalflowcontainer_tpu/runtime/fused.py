@@ -1,0 +1,231 @@
+"""Fused per-frame streaming step: ingest -> flow -> velocity aggregate as
+ONE device program.
+
+The reference's hot loop round-trips the full flow field to the host every
+frame (`.cpu().numpy()`, lfn3_node.py:189) and aggregates there; at TPU
+streaming rates the field transfer + host math dominate.  Here the whole
+per-frame pipeline — uint8 BGR frame -> BT.601 gray -> Farneback flow against
+the device-resident previous gray -> mean/median horizontal displacement —
+compiles into a single XLA program.  Per frame the host sends one uint8 frame
+(~0.9 MB at 640x480) and receives one f32 scalar.
+
+:class:`FusedFarnebackStream` owns the device-resident previous-gray state;
+``step()`` returns the aggregated pixel displacement as an unsynced device
+scalar so callers can overlap dispatch with the next frame's capture
+(``pipeline_depth=1`` in the demo), or sync immediately for per-frame latency
+measurement (bench.py's p50/p99 leg).
+"""
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..classical import calc_optical_flow_farneback
+from ..core.color import bgr_to_gray
+
+
+@functools.partial(
+    jax.jit, static_argnames=("aggregate", "masked", "fb_kwargs")
+)
+def _fused_step(prev_gray, frame, mask, aggregate: str, masked: bool,
+                fb_kwargs: tuple):
+    """(prev_gray [H,W] f32, frame [H,W,3]|[H,W] u8, mask [H,W] bool|None)
+    -> (gray [H,W] f32, du scalar f32): one compiled program per frame."""
+    f = frame.astype(jnp.float32)
+    gray = bgr_to_gray(f) if f.ndim == 3 else f
+    flow = calc_optical_flow_farneback(prev_gray, gray, **dict(fb_kwargs))
+    u = flow[..., 0]
+    if masked:
+        if aggregate == "mean":
+            m = mask.astype(jnp.float32)
+            du = jnp.sum(u * m) / jnp.maximum(jnp.sum(m), 1.0)
+        else:
+            du = jnp.nanmedian(jnp.where(mask, u, jnp.nan))
+    else:
+        du = jnp.mean(u) if aggregate == "mean" else jnp.median(u)
+    return gray, du
+
+
+class FusedFarnebackStream:
+    """Stateful fused streaming step.  ``step(frame)`` dispatches the fused
+    program and returns the (unsynced) device scalar du in pixels; call
+    ``float(du)`` to sync.  ``flow(frame_a, frame_b)`` is the off-hot-path
+    debug field."""
+
+    def __init__(self, aggregate: str = "mean", **fb_kwargs):
+        assert aggregate in ("mean", "median")
+        self.aggregate = aggregate
+        self.fb_kwargs = tuple(sorted(fb_kwargs.items()))
+        self._gray: jax.Array | None = None
+
+    def reset(self):
+        self._gray = None
+
+    def warmup(self, frame: np.ndarray, mask: np.ndarray | None = None):
+        """Compile both the first-frame and steady-state programs."""
+        g0 = self._gray
+        self.step(frame, mask)
+        self.step(frame, mask)
+        self._gray = g0
+
+    def step(self, frame: np.ndarray, mask: np.ndarray | None = None):
+        """Returns du (device f32 scalar, pixels) or None on the first frame."""
+        frame = jnp.asarray(frame)
+        if self._gray is None:
+            f = frame.astype(jnp.float32)
+            self._gray = bgr_to_gray(f) if f.ndim == 3 else f
+            return None
+        m = jnp.zeros((), bool) if mask is None else jnp.asarray(mask, bool)
+        self._gray, du = _fused_step(
+            self._gray, frame, m, self.aggregate, mask is not None,
+            self.fb_kwargs,
+        )
+        return du
+
+
+def make_fused_farneback_backend(aggregate: str = "mean", **fb_kwargs) -> Callable:
+    """FlowNode backend wrapping :class:`FusedFarnebackStream`.
+
+    Stateful: the previous gray frame lives on device, so the ``prev``
+    argument FlowNode passes is ignored after the first frame.  The backend
+    returns the aggregated pixel displacement (``returns_displacement``
+    marker), which FlowNode feeds to
+    ``VelocityEstimator.update_from_displacement``.
+    """
+    stream = FusedFarnebackStream(aggregate=aggregate, **fb_kwargs)
+
+    def backend(prev, cur, dt, mask=None):
+        if stream._gray is None:
+            stream.step(prev, mask)
+        du = stream.step(cur, mask)
+        return float(du)
+
+    backend.wants_color = True
+    backend.returns_displacement = True
+    backend.stream = stream
+    return backend
+
+
+def measure_stream_latency(
+    height: int = 480,
+    width: int = 640,
+    fps: float = 15.0,
+    n_frames: int = 40,
+    aggregate: str = "mean",
+    paced: bool = True,
+    sync_every: int = 1,
+    **fb_kwargs,
+) -> dict:
+    """Drive the fused step at camera pace and measure per-frame latency
+    (frame available -> velocity scalar synced on host).  Returns p50/p99
+    latency (ms) and the sustained rate — the BASELINE "p50 frame latency"
+    metric (BASELINE.md targets table).
+
+    ``sync_every=K>1`` micro-batches the host syncs: pending velocity scalars
+    are stacked ON DEVICE and fetched in one transfer every K frames.  On the
+    axon dev slice a host sync costs ~90 ms RTT regardless of payload (the
+    fused program itself is ~4 ms at 640x480), so K=2-3 is what holds camera
+    rate through the tunnel; on a directly-attached TPU a ready-scalar fetch
+    is ~0.1 ms and K=1 is right."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, (height, width + 4 + n_frames, 3)).astype(np.uint8)
+    frames = [np.ascontiguousarray(base[:, i : i + width]) for i in range(n_frames)]
+
+    stream = FusedFarnebackStream(aggregate=aggregate, **fb_kwargs)
+    stream.warmup(frames[0])
+    stream.reset()
+    stream.step(frames[0])
+
+    period = 1.0 / fps
+    lat = []
+    pending: list[tuple[float, object]] = []
+
+    def drain():
+        if not pending:
+            return
+        if len(pending) == 1:
+            vals = [float(pending[0][1])]
+        else:
+            vals = np.asarray(jnp.stack([du for _, du in pending]))
+        t_done = time.perf_counter()
+        for (t_arrive, _), _v in zip(pending, vals):
+            lat.append(t_done - t_arrive)
+        pending.clear()
+
+    t_start = time.perf_counter()
+    t_next = t_start
+    for i, frame in enumerate(frames[1:]):
+        if paced:
+            delay = t_next - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+            t_arrive = max(t_next, time.perf_counter())
+            t_next += period
+        else:
+            t_arrive = time.perf_counter()
+        pending.append((t_arrive, stream.step(frame)))
+        if len(pending) >= sync_every:
+            drain()
+    drain()
+    elapsed = time.perf_counter() - t_start
+    lat_ms = np.sort(np.array(lat) * 1000.0)
+    # held_rate: every result lands within K camera periods of its frame, so
+    # the pipeline never falls behind a K-deep camera queue.
+    budget_ms = 1000.0 / fps * max(sync_every, 1)
+    return {
+        "p50_ms": float(np.percentile(lat_ms, 50)),
+        "p99_ms": float(np.percentile(lat_ms, 99)),
+        "mean_ms": float(lat_ms.mean()),
+        "sustained_fps": (len(frames) - 1) / elapsed,
+        "target_fps": fps,
+        "held_rate": bool(float(np.percentile(lat_ms, 99)) < budget_ms),
+        "sync_every": sync_every,
+        "n_frames": len(frames) - 1,
+    }
+
+
+def measure_device_stream_ms(
+    height: int = 480,
+    width: int = 640,
+    n_steps: int = 30,
+    aggregate: str = "mean",
+    **fb_kwargs,
+) -> float:
+    """Pure device time of the fused per-frame program (ms/frame): the steps
+    run as one in-jit ``lax.scan`` chain (each step consumes the previous
+    gray), one sync at the end — the honest-timing recipe for the axon slice
+    where per-dispatch/per-sync tunnel RTT would otherwise dominate."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(
+        0, 255, (height, width + n_steps + 4, 3)
+    ).astype(np.uint8)
+    frames = np.stack(
+        [base[:, i : i + width] for i in range(n_steps)]
+    )
+    kw = tuple(sorted(fb_kwargs.items()))
+
+    def chained(stack, g0):
+        def body(g, fr):
+            g2, du = _fused_step(g, fr, jnp.zeros((), bool), aggregate, False, kw)
+            return g2, du
+        g_end, dus = jax.lax.scan(body, g0, stack)
+        return dus.sum() + g_end.sum()
+
+    fn = jax.jit(chained)
+    stack = jnp.asarray(frames)
+    g0 = bgr_to_gray(jnp.asarray(frames[0], jnp.float32))
+    float(fn(stack, g0))  # compile
+    t0 = time.perf_counter()
+    float(fn(stack, g0))
+    return (time.perf_counter() - t0) / n_steps * 1000.0

@@ -51,6 +51,7 @@ class NodeParams:
     max_speed: float | None = None
     name: str = "FLOW"
     write_csv: bool = False
+    write_accel_csv: bool = False  # per-node HBM log (monitor.sh:67 gpu leg)
     csv_dir: str = "."
     publish_debug_images: bool = False
     junction_box: int = 11
@@ -82,6 +83,16 @@ class FlowNode:
         self.timer = CsvTimer(
             f"{self.p.csv_dir}/{self.p.name.lower()}_{self.p.width}x{self.p.height}.csv"
         ) if self.p.write_csv else None
+        self._accel_stop = None
+        if self.p.write_accel_csv:
+            # accelerator leg of the reference's monitor.sh: a TPU is
+            # process-exclusive, so the HBM sampler runs inside the node's
+            # process (scripts/monitor.sh:67 samples nvidia-smi externally).
+            from .tracing import start_memory_monitor
+
+            self._accel_stop = start_memory_monitor(
+                f"{self.p.csv_dir}/accel_usage_{self.p.name.lower()}.log"
+            )
         self._prev: tuple[np.ndarray, float] | None = None
         self._subs = []
         self._stop = threading.Event()
@@ -164,6 +175,9 @@ class FlowNode:
             t.join(timeout=2.0)
         for s in self._subs:
             self.bus.unsubscribe(s)
+        if self._accel_stop is not None:
+            self._accel_stop()
+            self._accel_stop = None
 
     # ------------------------------------------------------------ core
     def _process(self, msg: ImageMsg, mask: np.ndarray | None = None):
@@ -195,8 +209,16 @@ class FlowNode:
         self._prev = (obs, msg.header.stamp)
         dt = msg.header.stamp - t_prev
 
-        flow = np.asarray(self.backend(prev, obs, dt))
-        vx, vx_smooth, _vy = self.vel.update(flow, dt, mask)
+        if getattr(self.backend, "returns_displacement", False):
+            # Fused device path (runtime.fused): the backend aggregates the
+            # horizontal displacement ON DEVICE and returns one scalar — no
+            # flow-field host transfer per frame.
+            du = self.backend(prev, obs, dt, mask)
+            vx, vx_smooth = self.vel.update_from_displacement(du, dt)
+            flow = None
+        else:
+            flow = np.asarray(self.backend(prev, obs, dt))
+            vx, vx_smooth, _vy = self.vel.update(flow, dt, mask)
         name = self.p.name
         self.bus.publish(
             f"/optical_flow/{name}_velocity",
@@ -206,15 +228,17 @@ class FlowNode:
             f"/optical_flow/{name}_smooth_velocity",
             Vector3StampedMsg(msg.header, vx_smooth),
         )
-        self.bus.publish(f"/optical_flow/{name}_flow", FlowMsg(msg.header, flow))
+        if flow is not None:
+            self.bus.publish(f"/optical_flow/{name}_flow", FlowMsg(msg.header, flow))
         if self.p.publish_debug_images:
-            from .viz import flow_to_bgr
-
             self.bus.publish("/optical_flow/image_live_feed", ImageMsg(msg.header, frame))
-            self.bus.publish(
-                "/optical_flow/image_flow",
-                ImageMsg(msg.header, flow_to_bgr(flow)),
-            )
+            if flow is not None:
+                from .viz import flow_to_bgr
+
+                self.bus.publish(
+                    "/optical_flow/image_flow",
+                    ImageMsg(msg.header, flow_to_bgr(flow)),
+                )
         if self.timer:
             self.timer.record(msg.header.stamp, time.perf_counter() - t0)
         self.frames_processed += 1

@@ -42,13 +42,61 @@ def _sample(pid: int):
     return utime + stime, rss_pages * os.sysconf("SC_PAGE_SIZE")
 
 
+def summarize_accel(paths: list[str]) -> list[dict]:
+    """Aggregate accel_usage_*.log files (written in-process by
+    ``runtime.tracing.start_memory_monitor`` / ``NodeParams.write_accel_csv``)
+    into per-device peak/mean HBM numbers — the report half of monitor.sh's
+    nvidia-smi leg."""
+    per_device: dict[str, list[float]] = {}
+    peaks: dict[str, float] = {}
+    limits: dict[str, float] = {}
+    for path in paths:
+        with open(path) as f:
+            next(f, None)  # header
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) != 5:
+                    continue
+                _, dev, in_use, peak, limit = parts
+                try:
+                    in_use_f, peak_f = float(in_use), float(peak)
+                except ValueError:
+                    continue  # backend without memory stats ("None" rows)
+                per_device.setdefault(dev, []).append(in_use_f)
+                peaks[dev] = max(peaks.get(dev, 0.0), peak_f)
+                if limit not in ("None", ""):
+                    limits[dev] = float(limit)
+    out = []
+    for dev, vals in per_device.items():
+        out.append({
+            "device": dev,
+            "samples": len(vals),
+            "mean_in_use_mb": sum(vals) / len(vals) / 1e6,
+            "peak_mb": peaks.get(dev, 0.0) / 1e6,
+            "limit_mb": limits.get(dev, 0.0) / 1e6 or None,
+        })
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("names", nargs="+", help="process name substrings to track")
+    ap.add_argument("names", nargs="*", help="process name substrings to track")
     ap.add_argument("--duration", type=float, default=60.0)
     ap.add_argument("--interval", type=float, default=1.0)
     ap.add_argument("--out-dir", default=".")
+    ap.add_argument("--summarize-accel", nargs="+", metavar="LOG",
+                    help="summarize accel_usage_*.log files and exit")
     args = ap.parse_args(argv)
+
+    if args.summarize_accel:
+        for row in summarize_accel(args.summarize_accel):
+            lim = f"/{row['limit_mb']:.0f}" if row["limit_mb"] else ""
+            print(f"{row['device']}: mean {row['mean_in_use_mb']:.1f} MB, "
+                  f"peak {row['peak_mb']:.1f}{lim} MB "
+                  f"({row['samples']} samples)")
+        return 0
+    if not args.names:
+        ap.error("names required unless --summarize-accel")
 
     hz = os.sysconf("SC_CLK_TCK")
     files = {}

@@ -1,0 +1,211 @@
+"""Train flow models (RAFT-small / NeuFlowLite) on synthetic affine motion
+and package the weights.
+
+The reference ships pretrained checkpoints it downloads at node start
+(reference opticalflow_node.py:28-32, lfn3_node.py:54-56, neuflow_node.py:38);
+this build has no dataset/network access, so the packaged learned weights come
+from this tool: exact-ground-truth affine warps of procedural textures (the
+same family the eval harness scores on, eval/datasets.py:synthetic_eval_pairs,
+covering its easy AND hard ranges with photometric augmentation).
+
+  python -m opticalflowcontainer_tpu.tools.train_flow --model raft_small \
+      --steps 6000
+  python -m opticalflowcontainer_tpu.tools.train_flow --model neuflow_lite \
+      --steps 6000
+
+Checkpoints land under --ckpt-dir every --ckpt-every steps (orbax,
+parallel/checkpoint.py) and the final params are exported as the flat npz
+``models.raft.load_raft_small_synth`` / ``models.neuflow.load_neuflow_lite_synth``
+load.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+
+def make_affine_batch(rng, B=8, H=96, W=128, max_t=16.0, max_angle=8.0,
+                      scales=(0.92, 1.1), textures=3, photometric=True):
+    """Exact-GT affine frame pairs on multi-scale procedural texture.
+
+    Returns dict(img1, img2 [B,H,W,3] float32 in [0,1], flow [B,H,W,2]).
+    Motion model matches eval/datasets.py:synthetic_eval_pairs (rotation +
+    scale + translation about the image center) covering both its easy and
+    hard ranges; ``photometric`` adds the hard suite's gain/offset change on
+    frame 2 + sensor noise on both frames (half the samples, so the easy
+    regime stays represented).
+    """
+    import cv2
+    import numpy as np
+
+    pad = int(np.ceil(max_t)) + 16
+    img1 = np.zeros((B, H, W, 3), np.float32)
+    img2 = np.zeros((B, H, W, 3), np.float32)
+    flow = np.zeros((B, H, W, 2), np.float32)
+    xs, ys = np.meshgrid(np.arange(W, dtype=np.float32) + pad,
+                         np.arange(H, dtype=np.float32) + pad)
+    for i in range(B):
+        base = np.zeros((H + 2 * pad, W + 2 * pad), np.float32)
+        for s in range(textures):
+            sigma = 0.8 + 1.2 * s + rng.uniform(0, 0.8)
+            base += cv2.GaussianBlur(
+                rng.uniform(0, 1, base.shape).astype(np.float32), (0, 0), sigma
+            ) * rng.uniform(0.4, 1.0)
+        base -= base.min()
+        base /= max(base.max(), 1e-6)
+        ang = rng.uniform(-max_angle, max_angle)
+        sc = rng.uniform(*scales)
+        tx, ty = rng.uniform(-max_t, max_t, 2)
+        M = cv2.getRotationMatrix2D((W / 2 + pad, H / 2 + pad), ang, sc)
+        M[:, 2] += (tx, ty)
+        f1 = base[pad : pad + H, pad : pad + W]
+        f2 = cv2.warpAffine(base, M, base.shape[::-1])[pad : pad + H, pad : pad + W]
+        if photometric and rng.uniform() < 0.5:
+            f2 = np.clip(f2 * rng.uniform(0.6, 1.4) + rng.uniform(-0.1, 0.1), 0, 1)
+            f1 = np.clip(f1 + rng.normal(0, 0.016, f1.shape), 0, 1).astype(np.float32)
+            f2 = np.clip(f2 + rng.normal(0, 0.016, f2.shape), 0, 1).astype(np.float32)
+        img1[i] = f1[..., None]
+        img2[i] = f2[..., None]
+        # forward flow(p1) = M p1 - p1 (same derivation as the eval pairs)
+        x2 = M[0, 0] * xs + M[0, 1] * ys + M[0, 2]
+        y2 = M[1, 0] * xs + M[1, 1] * ys + M[1, 2]
+        flow[i, ..., 0] = x2 - xs
+        flow[i, ..., 1] = y2 - ys
+    return {"img1": img1, "img2": img2, "flow": flow}
+
+
+WEIGHTS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "models", "weights",
+)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="raft_small",
+                    choices=("raft_small", "neuflow_lite"))
+    ap.add_argument("--steps", type=int, default=4000)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--height", type=int, default=96)
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=8,
+                    help="GRU iterations (raft_small only)")
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--warmup", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=1000)
+    ap.add_argument("--out", default=None,
+                    help="npz path (default: packaged <model>_synth.npz)")
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--resume", action="store_true",
+                    help="initialize from the existing --out npz")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import optax
+    from flax.traverse_util import flatten_dict
+
+    from ..parallel import train_step
+    from ..parallel.train import TrainState
+    from ..parallel.checkpoint import save_checkpoint
+
+    name = args.model
+    out = args.out or os.path.join(WEIGHTS_DIR, f"{name}_synth.npz")
+    ckpt_dir = args.ckpt_dir or f"checkpoints/{name}_synth"
+    rng = np.random.default_rng(args.seed)
+    warmup = min(args.warmup, max(args.steps // 10, 1))
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup, args.steps, args.lr * 0.02
+    )
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(sched, weight_decay=1e-5))
+    i0 = jnp.zeros((args.height, args.width, 3), jnp.float32)
+
+    if name == "raft_small":
+        from ..models import RAFTSmall
+        from ..models.raft import load_raft_small_synth as loader
+
+        model = RAFTSmall()
+        init = lambda key: model.init(key, i0, i0, 2)
+
+        def step_body(s, b):
+            return train_step(model, tx, s, b, iters=args.iters)
+    else:
+        from ..models import NeuFlowLite
+        from ..models.neuflow import load_neuflow_lite_synth as loader
+
+        model = NeuFlowLite()
+        init = lambda key: model.init(key, i0, i0)
+
+        def step_body(s, b):
+            # final + auxiliary (pre-refinement global-matching) L1 loss, so
+            # the matching stage learns instead of hiding behind the refiner
+            def loss_fn(params):
+                def one(i1, i2, gt):
+                    out_f, aux = model.apply(params, i1, i2, return_aux=True)
+                    return (jnp.abs(out_f - gt).mean()
+                            + 0.3 * jnp.abs(aux - gt).mean())
+
+                return jnp.mean(
+                    jax.vmap(one)(b["img1"], b["img2"], b["flow"])
+                )
+
+            loss, grads = jax.value_and_grad(loss_fn)(s.params)
+            updates, opt_state = tx.update(grads, s.opt_state, s.params)
+            params = optax.apply_updates(s.params, updates)
+            return TrainState(params, opt_state, s.step + 1), loss
+
+    if args.resume and os.path.exists(out):
+        params = loader()[1]
+        print(f"resumed params from {out}")
+    else:
+        params = init(jax.random.PRNGKey(args.seed))
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    step_fn = jax.jit(step_body)
+
+    def export(params, path):
+        flat = flatten_dict(jax.device_get(params)["params"])
+        np.savez(path, **{"/".join(k): np.asarray(v) for k, v in flat.items()})
+
+    t0 = time.time()
+    losses = []
+    for step in range(1, args.steps + 1):
+        batch = make_affine_batch(rng, args.batch, args.height, args.width)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, loss = step_fn(state, batch)
+        if step % args.log_every == 0 or step == 1:
+            loss = float(loss)  # sync
+            losses.append(loss)
+            rate = step / max(time.time() - t0, 1e-9)
+            print(f"step {step:5d}  loss {loss:8.4f}  lr {sched(step):.2e}  "
+                  f"{rate:.2f} steps/s", flush=True)
+        if args.ckpt_every and step % args.ckpt_every == 0:
+            save_checkpoint(ckpt_dir, jax.device_get(state), step)
+            export(state.params, out)
+            print(f"checkpoint @ {step} -> {ckpt_dir}; npz -> {out}",
+                  flush=True)
+    export(state.params, out)
+    print(f"done: {args.steps} steps in {time.time() - t0:.0f}s; "
+          f"final loss {losses[-1]:.4f}; weights -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

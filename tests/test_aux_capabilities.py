@@ -129,3 +129,31 @@ def test_graft_entry_single():
     out = jax.jit(fn)(*args)
     assert out.shape == (128, 128, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_accel_monitor_node_log_and_summary(tmp_path, rng):
+    """Accelerator leg of the monitor (reference monitor.sh:67 nvidia-smi
+    pmon): FlowNode with write_accel_csv samples per-device memory stats
+    in-process; tools.monitor summarizes the logs."""
+    import time
+
+    from opticalflowcontainer_tpu.runtime import Bus, FlowNode, NodeParams
+    from opticalflowcontainer_tpu.runtime.nodes import make_farneback_backend
+    from opticalflowcontainer_tpu.tools.monitor import summarize_accel
+
+    node = FlowNode(
+        make_farneback_backend(levels=1, winsize=9, iterations=1),
+        NodeParams(name="MON", write_accel_csv=True, csv_dir=str(tmp_path)),
+        Bus(namespace=""),
+    )
+    time.sleep(1.5)  # a couple of 1 Hz samples
+    node.stop()
+    log = tmp_path / "accel_usage_mon.log"
+    assert log.exists()
+    lines = log.read_text().strip().splitlines()
+    assert lines[0].startswith("timestamp,device,")
+    assert len(lines) >= 2  # header + >=1 sample row per device
+    rows = summarize_accel([str(log)])
+    # CPU backend exposes memory stats on recent jaxlib; tolerate absence
+    for r in rows:
+        assert r["samples"] >= 1 and r["peak_mb"] >= 0.0

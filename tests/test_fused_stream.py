@@ -1,0 +1,115 @@
+"""Fused per-frame device program (runtime.fused): the single-program
+ingest->flow->aggregate path must reproduce the unfused FlowNode pipeline
+(cf. reference per-frame hot loop, lfn3_node.py:145-210, which round-trips
+the full field to the host)."""
+import numpy as np
+import pytest
+
+from opticalflowcontainer_tpu.runtime import (
+    Bus,
+    FlowNode,
+    NodeParams,
+    SyntheticCamera,
+    make_farneback_backend,
+    make_fused_farneback_backend,
+)
+from opticalflowcontainer_tpu.runtime.fused import (
+    FusedFarnebackStream,
+    measure_stream_latency,
+)
+from opticalflowcontainer_tpu.runtime.messages import Header, ImageMsg
+
+FB = dict(levels=2, winsize=13, iterations=2)
+
+
+def _frames(n=4, h=64, w=96, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(0, 255, (h, w + 2 * n, 3)).astype(np.uint8)
+    return [np.ascontiguousarray(base[:, 2 * i : 2 * i + w]) for i in range(n)]
+
+
+def test_fused_matches_unfused_mean():
+    import jax.numpy as jnp
+
+    from opticalflowcontainer_tpu.classical import calc_optical_flow_farneback
+    from opticalflowcontainer_tpu.core.color import bgr_to_gray
+
+    f = _frames()
+    stream = FusedFarnebackStream(aggregate="mean", **FB)
+    stream.step(f[0])
+    for a, b in zip(f, f[1:]):
+        du = float(stream.step(b))
+        ga = np.asarray(bgr_to_gray(jnp.asarray(a, jnp.float32)))
+        gb = np.asarray(bgr_to_gray(jnp.asarray(b, jnp.float32)))
+        flow = np.asarray(calc_optical_flow_farneback(ga, gb, **FB))
+        assert du == pytest.approx(float(flow[..., 0].mean()), abs=1e-4)
+
+
+def test_fused_masked_median():
+    import jax.numpy as jnp
+
+    from opticalflowcontainer_tpu.classical import calc_optical_flow_farneback
+    from opticalflowcontainer_tpu.core.color import bgr_to_gray
+
+    f = _frames(n=2)
+    h, w = f[0].shape[:2]
+    mask = np.zeros((h, w), bool)
+    mask[10:40, 20:70] = True
+    stream = FusedFarnebackStream(aggregate="median", **FB)
+    stream.step(f[0], mask)
+    du = float(stream.step(f[1], mask))
+    ga = np.asarray(bgr_to_gray(jnp.asarray(f[0], jnp.float32)))
+    gb = np.asarray(bgr_to_gray(jnp.asarray(f[1], jnp.float32)))
+    flow = np.asarray(calc_optical_flow_farneback(ga, gb, **FB))
+    assert du == pytest.approx(float(np.median(flow[..., 0][mask])), abs=1e-4)
+
+
+def test_fused_flownode_matches_regular_node():
+    """Same frames through a fused-backend node and a regular node publish
+    the same velocities (scalar leaves the device, not the field)."""
+    f = _frames(n=5)
+    got = {}
+    for kind in ("regular", "fused"):
+        bus = Bus()
+        backend = (
+            make_fused_farneback_backend(**FB)
+            if kind == "fused"
+            else make_farneback_backend(**FB)
+        )
+        node = FlowNode(backend, NodeParams(name="T"), bus)
+        vals = []
+        bus.subscribe("/optical_flow/T_velocity", lambda m, v=vals: v.append(m.x))
+        for i, frame in enumerate(f):
+            node._image_callback(ImageMsg(Header(i / 15.0), frame, "bgr8"))
+        got[kind] = vals
+    assert len(got["fused"]) == len(got["regular"]) == len(f) - 1
+    np.testing.assert_allclose(got["fused"], got["regular"], atol=1e-4)
+
+
+def test_fused_node_recovers_velocity():
+    """Fused path on the self-checking synthetic scene: callbacks are driven
+    directly (no paced threads — the demo's thread form is load-sensitive in
+    CI), so the velocity must converge to the scene's ground truth."""
+    fps, p2m, gt = 30.0, 0.000857, 0.05
+    bus = Bus()
+    cam = SyntheticCamera(width=320, height=240, fps=fps, n_frames=10,
+                          velocity_mps=gt, pixel_to_meter=p2m)
+    node = FlowNode(
+        make_fused_farneback_backend(**FB),
+        NodeParams(width=320, height=240, pixel_to_meter=p2m, name="F"),
+        bus,
+    )
+    vals = []
+    bus.subscribe("/optical_flow/F_velocity", lambda m: vals.append(m.x))
+    for i in range(10):
+        node._image_callback(ImageMsg(Header(i / fps), cam.frame_at(i), "bgr8"))
+    assert len(vals) == 9
+    assert abs(np.mean(vals[2:]) - gt) < 0.01
+
+
+def test_measure_stream_latency_smoke():
+    out = measure_stream_latency(
+        height=48, width=64, fps=200.0, n_frames=6, paced=False, **FB
+    )
+    assert out["p50_ms"] > 0 and out["p99_ms"] >= out["p50_ms"]
+    assert out["n_frames"] == 5

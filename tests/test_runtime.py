@@ -172,6 +172,18 @@ def test_bus_namespace_isolation():
     assert got_a == [1, 3]
 
 
+def test_bus_namespace_from_env(monkeypatch):
+    """Deployment-level domain selection: $OFC_BUS_NAMESPACE seeds the
+    default namespace (deploy/env.sh, the ROS_DOMAIN_ID equivalent)."""
+    from opticalflowcontainer_tpu.runtime import Bus
+
+    monkeypatch.setenv("OFC_BUS_NAMESPACE", "/dom22")
+    assert Bus().namespace == "/dom22"
+    assert Bus(namespace="").namespace == ""  # explicit empty overrides
+    monkeypatch.delenv("OFC_BUS_NAMESPACE")
+    assert Bus().namespace == ""
+
+
 def test_color_backend_receives_bgr_classical_gets_bt601_gray():
     """Learned-model backends must see the original 3-channel frame (the
     reference feeds color to nets trained on color); classical backends get
