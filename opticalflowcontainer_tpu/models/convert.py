@@ -144,6 +144,31 @@ def liteflownet3_table() -> list[Entry]:
 
 # ---------------------------------------------------------------- driver
 
+def raft_small_table() -> list[Entry]:
+    """RAFT-small conv map.  Torch names follow this repo's module naming
+    (mirrored by the parity oracle tests/_torch_raft.py); a torchvision
+    ``raft_small`` checkpoint additionally needs its module prefixes renamed
+    (feature_encoder->fnet, update_block.motion_encoder->motion, ...), which
+    cannot be verified offline — torchvision is not installed here."""
+    t: list[Entry] = []
+    for enc in ("fnet", "cnet"):
+        t.append(Entry(f"{enc}.stem", (enc, "stem"), "conv"))
+        for i, (cin, ch, s) in enumerate(((32, 32, 1), (32, 64, 2), (64, 96, 2))):
+            for blk, bcin, bs in ((f"block{i}a", cin, s), (f"block{i}b", ch, 1)):
+                for c in ("conv1", "conv2", "conv3"):
+                    t.append(Entry(f"{enc}.{blk}.{c}", (enc, blk, c), "conv"))
+                if bs != 1 or bcin != ch:
+                    t.append(Entry(f"{enc}.{blk}.down", (enc, blk, "down"), "conv"))
+        t.append(Entry(f"{enc}.proj", (enc, "proj"), "conv"))
+    for m in ("convc1", "convf1", "convf2", "conv"):
+        t.append(Entry(f"motion.{m}", ("motion", m), "conv"))
+    for g in ("convz", "convr", "convq"):
+        t.append(Entry(f"gru.{g}", ("gru", g), "conv"))
+    t.append(Entry("head.conv1", ("head", "conv1"), "conv"))
+    t.append(Entry("head.conv2", ("head", "conv2"), "conv"))
+    return t
+
+
 def _set(tree: dict, path: tuple[str, ...], kernel, bias=None):
     node = tree
     for p in path[:-1]:
@@ -187,6 +212,10 @@ def convert_liteflownet(sd: Mapping) -> dict:
 
 def convert_liteflownet3(sd: Mapping) -> dict:
     return apply_table(sd, liteflownet3_table())
+
+
+def convert_raft_small(sd: Mapping) -> dict:
+    return apply_table(sd, raft_small_table())
 
 
 def invert_entry(e: Entry, kernel: np.ndarray, bias: np.ndarray | None) -> dict:

@@ -41,7 +41,11 @@ from .nodes import (
     make_farneback_backend,
     make_model_backend,
 )
-from .multistream import MultiStreamFlow, make_batched_farneback
+from .multistream import (
+    MultiStreamFlow,
+    make_batched_farneback,
+    make_batched_fused_farneback,
+)
 from .fused import (
     FusedFarnebackStream,
     make_fused_farneback_backend,
@@ -75,6 +79,7 @@ __all__ = [
     "make_model_backend",
     "MultiStreamFlow",
     "make_batched_farneback",
+    "make_batched_fused_farneback",
     "FusedFarnebackStream",
     "make_fused_farneback_backend",
     "measure_stream_latency",

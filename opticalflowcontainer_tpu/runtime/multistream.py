@@ -66,8 +66,10 @@ class MultiStreamFlow:
         self.fields = 0
 
     def push_frame(self, stream: int, frame: np.ndarray, stamp: float):
+        from .nodes import _bgr_to_gray_np
+
         gray = (
-            frame.mean(axis=-1).astype(np.float32)
+            _bgr_to_gray_np(frame)
             if frame.ndim == 3
             else frame.astype(np.float32)
         )
@@ -93,12 +95,20 @@ class MultiStreamFlow:
             idxs = [i for i, _ in ready]
             prev = np.stack([p[0] for _, p in ready])
             cur = np.stack([p[1] for _, p in ready])
-            flows = np.asarray(self.backend(prev, cur))
+            fused = getattr(self.backend, "returns_displacement", False)
+            out = np.asarray(self.backend(prev, cur))
             self.batches += 1
             self.fields += len(idxs)
             for k, (i, (_, _, t0, t1)) in enumerate(ready):
                 dt = t1 - t0
-                vx, vx_s, _ = self.vels[i].update(flows[k], dt)
+                if fused:
+                    # device-aggregated [N] pixel displacements — only N
+                    # scalars crossed the host boundary for this batch
+                    vx, vx_s = self.vels[i].update_from_displacement(
+                        float(out[k]), dt
+                    )
+                else:
+                    vx, vx_s, _ = self.vels[i].update(out[k], dt)
                 self.bus.publish(
                     f"/optical_flow/{self.name}{i}_velocity",
                     Vector3StampedMsg(Header(t1), vx),
@@ -127,5 +137,39 @@ def make_batched_farneback(n_streams: int, **kwargs):
             prev = np.concatenate([prev, pad])
             cur = np.concatenate([cur, np.repeat(cur[-1:], n_streams - n, axis=0)])
         return np.asarray(fn(prev, cur))[:n]
+
+    return backend
+
+
+def make_batched_fused_farneback(n_streams: int, aggregate: str = "mean",
+                                 **kwargs):
+    """Fused batched backend: flow AND per-stream horizontal-displacement
+    aggregation in one device program — [N, H, W] pairs in, [N] pixel
+    displacements out (the multi-stream analogue of runtime.fused; only N
+    scalars return to the host per batch)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..classical import farneback_batched
+
+    assert aggregate in ("mean", "median")
+
+    @jax.jit
+    def fn(prev, cur):
+        u = farneback_batched(prev, cur, **kwargs)[..., 0]
+        return (jnp.mean(u, axis=(1, 2)) if aggregate == "mean"
+                else jnp.median(u.reshape(u.shape[0], -1), axis=1))
+
+    def backend(prev, cur):
+        n = prev.shape[0]
+        if n < n_streams:
+            pad = np.repeat(prev[-1:], n_streams - n, axis=0)
+            prev = np.concatenate([prev, pad])
+            cur = np.concatenate([cur, np.repeat(cur[-1:], n_streams - n, axis=0)])
+        return np.asarray(fn(prev, cur))[:n]
+
+    backend.returns_displacement = True
 
     return backend

@@ -55,6 +55,48 @@ def test_multistream_batched_velocities():
     assert ms.fields >= 6
 
 
+def test_multistream_fused_matches_unfused():
+    """Device-aggregated multistream backend (one [N]-scalar transfer per
+    batch) publishes the same velocities as the flow-returning one."""
+    from opticalflowcontainer_tpu.runtime import Bus
+    from opticalflowcontainer_tpu.runtime.multistream import (
+        MultiStreamFlow,
+        make_batched_farneback,
+        make_batched_fused_farneback,
+    )
+
+    rng = np.random.default_rng(1)
+    base = rng.uniform(0, 255, (64, 96)).astype(np.float32)
+    prev = np.stack([base, np.roll(base, 1, axis=1)])
+    cur = np.stack([np.roll(base, 2, axis=1), base])
+
+    kw = dict(levels=1, winsize=11, iterations=1)
+    plain = make_batched_farneback(2, **kw)
+    fused = make_batched_fused_farneback(2, **kw)
+    assert fused.returns_displacement
+    flows = plain(prev, cur)
+    dus = fused(prev, cur)
+    np.testing.assert_allclose(dus, flows[..., 0].mean(axis=(1, 2)), atol=1e-4)
+    # partial batch (padded) path
+    np.testing.assert_allclose(
+        fused(prev[:1], cur[:1]),
+        flows[:1, ..., 0].mean(axis=(1, 2)), atol=1e-4,
+    )
+
+    # end-to-end through MultiStreamFlow: fused backend drives
+    # update_from_displacement and publishes identical velocities
+    bus = Bus(namespace="")
+    ms = MultiStreamFlow(bus, fused, n_streams=2, pixel_to_meter=1.0)
+    got = []
+    bus.subscribe("/optical_flow/STREAM0_velocity", lambda m: got.append(m.x))
+    ms.slots[0].push(prev[0], 0.0)
+    ms.slots[0].push(cur[0], 1.0)
+    ms.start()
+    time.sleep(0.8)
+    ms.stop()
+    assert got and abs(got[0] - float(flows[0, ..., 0].mean())) < 1e-3
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax
 

@@ -9,9 +9,12 @@ architecture transcription: layer wiring, warp conventions (incl. LFN3's
 W/(W-1) deformation scale), correlation channel ordering, flow-scale tables
 and the x20 output scaling.
 
-RAFT-vs-torchvision parity is not testable here: torchvision is not installed
-in this environment (the RAFT implementation keeps its own oracle tests in
-test_models.py / test_ops_allpairs.py instead).
+RAFT-vs-torchvision parity is not directly testable here (torchvision is not
+installed), so the RAFT check uses tests/_torch_raft.py: the same
+architecture in PyTorch primitives whose semantics we don't control
+(F.grid_sample lookup, F.avg_pool2d pyramid, F.interpolate upsample,
+InstanceNorm2d) — an independent op-semantics oracle plus a converter
+(convert.convert_raft_small) exercised end to end.
 
 Reference forwards: pwc_net.py:221-231, liteflownet.py:210-241,
 liteflownet3.py:258-285.
@@ -98,3 +101,19 @@ def test_liteflownet3_matches_reference_forward():
         tflow = net(_torch_in(i1).clone(), _torch_in(i2).clone())
     jflow = LiteFlowNet3().apply(params, jnp.asarray(i1), jnp.asarray(i2))
     _compare(tflow, jflow, "liteflownet3")
+
+
+def test_raft_small_matches_torch_oracle():
+    from _torch_raft import TorchRAFTSmall
+    from opticalflowcontainer_tpu.models.raft import RAFTSmall
+
+    torch.manual_seed(3)
+    net = TorchRAFTSmall()
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = convert.convert_raft_small(sd)
+
+    i1, i2 = _run_pair(4, 64, 96)
+    with torch.no_grad():
+        tflow = net(_torch_in(i1), _torch_in(i2), iters=3)
+    jflow = RAFTSmall().apply(params, jnp.asarray(i1), jnp.asarray(i2), 3)[-1]
+    _compare(tflow, jflow, "raft_small")
