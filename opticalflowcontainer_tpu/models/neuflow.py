@@ -24,18 +24,27 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .common import Conv, leaky
+from .raft import InstanceNorm
 from ..core.resize import resize_bilinear
 from ..core.warp import warp_bilinear
 from ..ops import all_pairs_correlation, local_correlation
 
 
 class _Down(nn.Module):
+    """Conv-norm-act downsampling block.  The real NeuFlow backbone is
+    Conv+BatchNorm (that is what the reference's fuse-Conv+BN tactic fuses,
+    neuflow_node.py:41-47); affine-less InstanceNorm serves the same role
+    here without a batch-stats collection, and keeps the trunk's activation
+    scale flat — without it the 4-block trunk collapses to ~0.01 std and the
+    correlation volumes drown in the conv biases (measured; training never
+    left the predict-zero basin)."""
+
     features: int
 
     @nn.compact
     def __call__(self, x):
-        x = leaky(Conv(self.features, stride=2, name="conv0")(x))
-        return leaky(Conv(self.features, name="conv1")(x))
+        x = leaky(InstanceNorm()(Conv(self.features, stride=2, name="conv0")(x)))
+        return leaky(InstanceNorm()(Conv(self.features, name="conv1")(x)))
 
 
 class NeuFlowLite(nn.Module):
@@ -69,10 +78,19 @@ class NeuFlowLite(nn.Module):
         # --- global matching at 1/16 ---
         g1 = Conv(96, kernel=1, padding=0, name="proj1")(f1[3])
         g2 = Conv(96, kernel=1, padding=0, name="proj2")(f2[3])
+        # cosine-similarity matching with a learnable temperature (the
+        # GMFlow-family design NeuFlow-v2 derives from): unit-norm features
+        # make the softmax scale independent of the trunk's activation scale
+        g1 = g1 * jax.lax.rsqrt(jnp.sum(g1 * g1, -1, keepdims=True) + 1e-6)
+        g2 = g2 * jax.lax.rsqrt(jnp.sum(g2 * g2, -1, keepdims=True) + 1e-6)
         Hc, Wc = g1.shape[0], g1.shape[1]
+        C = g1.shape[-1]
         vol = all_pairs_correlation(g1, g2).reshape(Hc, Wc, Hc * Wc)
+        vol = vol * jnp.sqrt(jnp.asarray(C, jnp.float32))  # undo /sqrt(C): cosine
+        temp = self.param("match_temp", nn.initializers.constant(10.0), (1,),
+                          jnp.float32)
         # soft-argmax in fp32: coordinates and attention need full precision
-        att = jax.nn.softmax(vol.astype(jnp.float32) * 4.0, axis=-1)
+        att = jax.nn.softmax(vol.astype(jnp.float32) * temp, axis=-1)
         ty = jnp.arange(Hc * Wc, dtype=jnp.float32) // Wc
         tx = jnp.arange(Hc * Wc, dtype=jnp.float32) % Wc
         ey = jnp.sum(att * ty, axis=-1)
