@@ -126,21 +126,24 @@ def main(argv=None):
     if not pairs:
         raise SystemExit(f"no eval pairs found for {src}")
 
-    run = _make_method(args.method, args.ckpt, args.quick)
-    all_stats = []
-    t_total = 0.0
-    for img1, img2, gt, valid in pairs:
-        t0 = time.perf_counter()
-        flow = run(img1, img2)
-        t_total += time.perf_counter() - t0
-        s = epe_stats(flow, gt, valid)
-        s["fl_all"] = outlier_rate(flow, gt, valid)
-        all_stats.append(s)
+    # comma-separated methods emit one JSON line each (reproduces the README
+    # EPE table: --method farneback,raft,neuflow [--hard])
+    for method in args.method.split(","):
+        run = _make_method(method, args.ckpt, args.quick)
+        all_stats = []
+        t_total = 0.0
+        for img1, img2, gt, valid in pairs:
+            t0 = time.perf_counter()
+            flow = run(img1, img2)
+            t_total += time.perf_counter() - t0
+            s = epe_stats(flow, gt, valid)
+            s["fl_all"] = outlier_rate(flow, gt, valid)
+            all_stats.append(s)
 
-    agg = {k: float(np.mean([s[k] for s in all_stats])) for k in all_stats[0]}
-    agg.update(method=args.method, dataset=src, n=len(pairs),
-               sec_per_pair=t_total / len(pairs))
-    print(json.dumps(agg, indent=2))
+        agg = {k: float(np.mean([s[k] for s in all_stats])) for k in all_stats[0]}
+        agg.update(method=method, dataset=src, n=len(pairs),
+                   sec_per_pair=t_total / len(pairs))
+        print(json.dumps(agg))
     return 0
 
 
