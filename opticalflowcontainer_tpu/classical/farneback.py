@@ -61,7 +61,12 @@ OPTFLOW_FARNEBACK_GAUSSIAN = 256
 # debugging).
 BLOCK_WARP = True
 BLOCK_WARP_BLOCK = (16, 128)  # Mosaic tiling wants (8k, 128k) blocks
-BLOCK_WARP_SLACK = 3
+# slack sweep on a 720p 1.5-degree-rotation + 1.02-zoom pair (device EPE vs
+# cv2 / ms per B=8 warp): s1 1.52 px (fails) / 12.7 ms; s2 0.056 / 12.7;
+# s3 0.038 / 17.9; s4 0.038 / ~20.  Bigger blocks lose accuracy faster than
+# they save traffic ((32,256) s3 = 0.30 px).  s2 holds the <=0.1 px bar with
+# 29% less warp time; pure-translation fields measure 0.0008 px either way.
+BLOCK_WARP_SLACK = 2
 BLOCK_WARP_PAD = (40, 192)  # (pad_y, pad_x): room for the tile-aligned patch + displacement range
 BLOCK_WARP_DTYPE = jnp.bfloat16  # patch DMA dtype; accumulation stays fp32
 BLOCK_WARP_INTERPRET = False  # tests: run the Pallas kernel interpreted on CPU
