@@ -95,18 +95,43 @@ def _block_bases(u, v, block, slack, pad, Hp, Wp):
 
 
 def _kernel(x0_ref, y0_ref, src_ref, u_ref, v_ref, out_ref, patch, sem,
-            *, bh, bw, ph, pw, slack, pad_y, pad_x):
+            *, bh, bw, ph, pw, slack, pad_y, pad_x, nby, nbx, nb_total):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    # Double-buffered patch pipeline: grid steps run sequentially on the
+    # core, so block n's compute overlaps block n+1's patch DMA (two scratch
+    # slots, parity-indexed; block n's own copy was started at step n-1, or
+    # at step 0 for the first block).
+    n = (b * nby + i) * nbx + j
+    slot = jax.lax.rem(n, 2)
+
+    def copy_for(bb, ii, jj, sl):
+        yy = y0_ref[bb, ii, jj]
+        xx = x0_ref[bb, ii, jj]
+        yq = pl.multiple_of((yy // 8) * 8, 8)
+        xq = pl.multiple_of((xx // 128) * 128, 128)
+        return pltpu.make_async_copy(
+            src_ref.at[bb, :, pl.ds(yq, ph), pl.ds(xq, pw)],
+            patch.at[sl], sem.at[sl],
+        )
+
+    @pl.when(n == 0)
+    def _start_first():
+        copy_for(b, i, j, slot).start()
+
+    @pl.when(n + 1 < nb_total)
+    def _prefetch_next():
+        nn = n + 1
+        jn = jax.lax.rem(nn, nbx)
+        in_ = jax.lax.rem(nn // nbx, nby)
+        bn = nn // (nbx * nby)
+        copy_for(bn, in_, jn, jax.lax.rem(nn, 2)).start()
+
     y0 = y0_ref[b, i, j]
     x0 = x0_ref[b, i, j]
     y0q = pl.multiple_of((y0 // 8) * 8, 8)
     x0q = pl.multiple_of((x0 // 128) * 128, 128)
-    cp = pltpu.make_async_copy(
-        src_ref.at[b, :, pl.ds(y0q, ph), pl.ds(x0q, pw)], patch, sem
-    )
-    cp.start()
 
     u = u_ref[0]
     v = v_ref[0]
@@ -138,13 +163,13 @@ def _kernel(x0_ref, y0_ref, src_ref, u_ref, v_ref, out_ref, patch, sem,
         for t in range(nsel)
     ]
 
-    cp.wait()
+    copy_for(b, i, j, slot).wait()
     # Realign the tile-quantized patch so that p[c, r, l] = src[y0+r, x0+l].
     # pltpu.roll(dynamic) miscompiles on non-power-of-2 lane counts and has
     # no bf16 lowering (probed on this backend), so realignment is done as
     # permutation MATMULS on the MXU — exact: one operand is {0,1} and
     # accumulation is fp32 (HIGHEST precision covers the f32-patch case).
-    p = patch[:, :, :]
+    p = patch[slot]
     C = p.shape[0]
     yrem = y0 - y0q
     xrem = x0 - x0q
@@ -239,13 +264,14 @@ def block_warp_bilinear(
             (1, C, bh, bw), lambda b, i, j, x0, y0: (b, 0, i, j)
         ),
         scratch_shapes=[
-            pltpu.VMEM((C, ph, pw), cdtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, C, ph, pw), cdtype),  # double-buffered patch slots
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(
         _kernel, bh=bh, bw=bw, ph=ph, pw=pw,
         slack=slack, pad_y=pad_y, pad_x=pad_x,
+        nby=nby, nbx=nbx, nb_total=B * nby * nbx,
     )
     return pl.pallas_call(
         kernel,
