@@ -48,7 +48,9 @@ from .multistream import (
 )
 from .fused import (
     FusedFarnebackStream,
+    FusedModelStream,
     make_fused_farneback_backend,
+    make_fused_model_backend,
     measure_stream_latency,
 )
 from .junction_tracking import JunctionTracker
@@ -81,7 +83,9 @@ __all__ = [
     "make_batched_farneback",
     "make_batched_fused_farneback",
     "FusedFarnebackStream",
+    "FusedModelStream",
     "make_fused_farneback_backend",
+    "make_fused_model_backend",
     "measure_stream_latency",
     "JunctionTracker",
     "AdaptiveParams",

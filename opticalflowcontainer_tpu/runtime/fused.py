@@ -89,6 +89,85 @@ class FusedFarnebackStream:
         return du
 
 
+class FusedModelStream:
+    """Fused learned-model streaming step: uint8 BGR frame in, aggregated
+    pixel-displacement scalar out — model ``estimate`` + velocity aggregation
+    as one device program per frame (the reference's lfn3/neuflow node hot
+    loop, reference lfn3_node.py:145-210, without its per-frame
+    ``.cpu().numpy()`` flow-field round trip).
+
+    ``estimate_fn(model, params, img1, img2) -> flow`` is any of the model
+    ``estimate`` contracts (models/*.py); frames are normalized to [0, 1]
+    float (BGR kept by default — the sniklaus-checkpoint convention — pass
+    ``bgr_to_rgb=True`` for RGB-trained nets)."""
+
+    def __init__(self, model, params, estimate_fn, aggregate: str = "mean",
+                 bgr_to_rgb: bool = False):
+        assert aggregate in ("mean", "median")
+        self._rgb: jax.Array | None = None
+
+        @functools.partial(jax.jit, static_argnames=("masked",))
+        def _step(prev_rgb, frame, mask, masked):
+            f = frame.astype(jnp.float32) * (1.0 / 255.0)
+            if bgr_to_rgb:
+                f = f[..., ::-1]
+            flow = estimate_fn(model, params, prev_rgb, f)
+            u = flow[..., 0].astype(jnp.float32)
+            if masked:
+                if aggregate == "mean":
+                    m = mask.astype(jnp.float32)
+                    du = jnp.sum(u * m) / jnp.maximum(jnp.sum(m), 1.0)
+                else:
+                    du = jnp.nanmedian(jnp.where(mask, u, jnp.nan))
+            else:
+                du = jnp.mean(u) if aggregate == "mean" else jnp.median(u)
+            du = jnp.nan_to_num(du)  # fp16/bf16 scrub (reference neuflow_node.py:145)
+            return f, du
+
+        self._step_fn = _step
+        self._prep = jax.jit(
+            lambda frame: (frame.astype(jnp.float32) * (1.0 / 255.0))[..., ::-1]
+            if bgr_to_rgb
+            else frame.astype(jnp.float32) * (1.0 / 255.0)
+        )
+
+    def reset(self):
+        self._rgb = None
+
+    def warmup(self, frame: np.ndarray, mask: np.ndarray | None = None):
+        r = self._rgb
+        self.step(frame, mask)
+        self.step(frame, mask)
+        self._rgb = r
+
+    def step(self, frame: np.ndarray, mask: np.ndarray | None = None):
+        frame = jnp.asarray(frame)
+        if self._rgb is None:
+            self._rgb = self._prep(frame)
+            return None
+        m = jnp.zeros((), bool) if mask is None else jnp.asarray(mask, bool)
+        self._rgb, du = self._step_fn(self._rgb, frame, m, mask is not None)
+        return du
+
+
+def make_fused_model_backend(model, params, estimate_fn,
+                             aggregate: str = "mean",
+                             bgr_to_rgb: bool = False) -> Callable:
+    """FlowNode backend wrapping :class:`FusedModelStream` (stateful: the
+    previous normalized frame lives on device; ``returns_displacement``)."""
+    stream = FusedModelStream(model, params, estimate_fn, aggregate, bgr_to_rgb)
+
+    def backend(prev, cur, dt, mask=None):
+        if stream._rgb is None:
+            stream.step(prev, mask)
+        return float(stream.step(cur, mask))
+
+    backend.wants_color = True
+    backend.returns_displacement = True
+    backend.stream = stream
+    return backend
+
+
 def make_fused_farneback_backend(aggregate: str = "mean", **fb_kwargs) -> Callable:
     """FlowNode backend wrapping :class:`FusedFarnebackStream`.
 

@@ -113,3 +113,38 @@ def test_measure_stream_latency_smoke():
     )
     assert out["p50_ms"] > 0 and out["p99_ms"] >= out["p50_ms"]
     assert out["n_frames"] == 5
+
+
+def test_fused_model_stream_matches_unfused_backend():
+    """Learned-model fused path (model estimate + aggregation on device)
+    publishes the same velocities as make_model_backend + host aggregation."""
+    import jax
+
+    from opticalflowcontainer_tpu.models import NeuFlowLite
+    from opticalflowcontainer_tpu.models.neuflow import estimate
+    from opticalflowcontainer_tpu.runtime import (
+        make_fused_model_backend,
+        make_model_backend,
+    )
+    from opticalflowcontainer_tpu.runtime.nodes import FlowNode as FN
+
+    model = NeuFlowLite()
+    f = _frames(n=4, h=64, w=96, seed=3)
+    i0 = np.zeros((64, 96, 3), np.float32)
+    params = model.init(jax.random.PRNGKey(0), i0, i0)
+
+    fused = make_fused_model_backend(model, params, estimate)
+    plain = make_model_backend(
+        lambda a, b: estimate(model, params, a, b)
+    )
+    mask = np.zeros((64, 96), bool)
+    mask[8:40, 16:80] = True
+    for a, b in zip(f, f[1:]):
+        du = fused(a, b, 1.0)
+        flow = plain(a, b, 1.0)
+        assert du == pytest.approx(float(flow[..., 0].mean()), abs=1e-4)
+    # masked aggregation on device
+    fused2 = make_fused_model_backend(model, params, estimate)
+    du_m = fused2(f[0], f[1], 1.0, mask)
+    flow01 = plain(f[0], f[1], 1.0)
+    assert du_m == pytest.approx(float(flow01[..., 0][mask].mean()), abs=1e-4)
