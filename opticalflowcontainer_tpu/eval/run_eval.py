@@ -29,15 +29,21 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
             return np.asarray(fn(g1, g2))
 
         return run
-    if name in ("raft", "pwcnet", "neuflow"):
+    if name in ("raft", "raft_large", "pwcnet", "neuflow"):
         import jax
 
-        if name == "raft":
-            from ..models import RAFTSmall
-            from ..models.raft import estimate, load_raft_small_synth
+        if name in ("raft", "raft_large"):
+            from ..models import RAFT, RAFTSmall
+            from ..models.raft import (
+                estimate,
+                load_raft_small_synth,
+                load_raft_synth,
+            )
 
-            loaded = load_raft_small_synth()
-            model = loaded[0] if loaded else RAFTSmall()
+            loaded = (load_raft_synth() if name == "raft_large"
+                      else load_raft_small_synth())
+            model = loaded[0] if loaded else (
+                RAFT() if name == "raft_large" else RAFTSmall())
 
             def run(img1, img2):
                 if not hasattr(run, "params"):
@@ -67,9 +73,11 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
         if name == "pwcnet":
             from ..models import PWCNet
             from ..models.pwcnet import estimate as pwc_estimate
+            from ..models.pwcnet import load_pwcnet_synth
             from ..models.convert import convert_pwcnet
 
-            model = PWCNet()
+            loaded = load_pwcnet_synth()
+            model = loaded[0] if loaded else PWCNet()
 
             def run(img1, img2):
                 if not hasattr(run, "params"):
@@ -80,6 +88,8 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
                         run.params = convert_pwcnet(
                             {k: v.numpy() for k, v in sd.items()}
                         )
+                    elif loaded:
+                        run.params = loaded[1]
                     else:
                         run.params = model.init(jax.random.PRNGKey(0), img1, img2)
                 return np.asarray(pwc_estimate(model, run.params, img1, img2))

@@ -89,18 +89,28 @@ class PWCNet(nn.Module):
     scaled to full-res pixel units.  Unbatched [H, W, 3]; vmap for batches."""
 
     @nn.compact
-    def __call__(self, img1, img2):
+    def __call__(self, img1, img2, return_pyramid: bool = False):
+        """``return_pyramid=True`` additionally returns the per-level raw
+        flows {level: flow} (in the net's /20 units at each level's own
+        resolution) for multi-scale training supervision — the original
+        PWC-Net training scheme; the reference ships inference only."""
         extractor = Extractor(name="extractor")
         f1 = extractor(img1)
         f2 = extractor(img2)
         prev = None
+        pyramid = {}
         for lvl, idx in ((6, 5), (5, 4), (4, 3), (3, 2), (2, 1)):
             flow, feat = Decoder(lvl, name=f"decoder{lvl}")(f1[idx], f2[idx], prev)
             prev = (flow, feat)
+            pyramid[lvl] = flow
         flow, feat = prev
         flow = flow + Refiner(name="refiner")(feat)
+        pyramid[2] = flow
         # flow leaves the net in fp32 regardless of serving dtype
-        return flow.astype(jnp.float32) * 20.0
+        out = flow.astype(jnp.float32) * 20.0
+        if return_pyramid:
+            return out, pyramid
+        return out
 
 
 def _pad_to(x: int, mult: int) -> int:
@@ -123,3 +133,13 @@ def estimate(model: PWCNet, params, img1: jax.Array, img2: jax.Array) -> jax.Arr
     flow = _run(model, params, i1, i2)
     flow = resize_bilinear(flow, (H, W), channel_last=True)
     return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)
+
+
+def load_pwcnet_synth():
+    """Packaged PWC-Net weights, TPU-trained on synthetic affine motion with
+    the original multi-scale supervision (tools/train_flow.py; the
+    reference's sniklaus checkpoint download is unreachable offline,
+    reference pwc_net.py:219).  Returns (model, params) or None."""
+    from .raft import _load_weights_npz
+
+    return _load_weights_npz("pwcnet_synth.npz", PWCNet())

@@ -273,19 +273,30 @@ def estimate(model, params, img1: jax.Array, img2: jax.Array, iters: int = 12):
     return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)
 
 
-def load_raft_small_synth():
-    """Load the packaged toy checkpoint (RAFT-small trained on synthetic
-    translations on TPU — see tools in /tmp of the build; the real Sintel
-    -quality weights need dataset access).  Returns (model, params) or None
-    when the artifact is absent."""
+def _load_weights_npz(fname: str, model):
+    """Load a packaged flat-npz checkpoint (written by tools/train_flow.py).
+    Returns (model, params) or None when the artifact is absent."""
     import os
 
     import numpy as np
     from flax.traverse_util import unflatten_dict
 
-    path = os.path.join(os.path.dirname(__file__), "weights", "raft_small_synth.npz")
+    path = os.path.join(os.path.dirname(__file__), "weights", fname)
     if not os.path.exists(path):
         return None
     data = np.load(path)
     tree = unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
-    return RAFTSmall(), {"params": tree}
+    return model, {"params": tree}
+
+
+def load_raft_small_synth():
+    """Packaged RAFT-small weights, TPU-trained on synthetic affine motion
+    with photometric augmentation (tools/train_flow.py; the reference's
+    pretrained downloads are unreachable offline, reference
+    visualize_raft.py:12 uses torchvision pretrained weights)."""
+    return _load_weights_npz("raft_small_synth.npz", RAFTSmall())
+
+
+def load_raft_synth():
+    """Packaged RAFT (large) weights, same training recipe."""
+    return _load_weights_npz("raft_large_synth.npz", RAFT())

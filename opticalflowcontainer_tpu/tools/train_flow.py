@@ -86,7 +86,7 @@ WEIGHTS_DIR = os.path.join(
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="raft_small",
-                    choices=("raft_small", "neuflow_lite"))
+                    choices=("raft_small", "raft_large", "neuflow_lite", "pwcnet"))
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--height", type=int, default=96)
@@ -137,15 +137,47 @@ def main(argv=None):
                      optax.adamw(sched, weight_decay=1e-5))
     i0 = jnp.zeros((args.height, args.width, 3), jnp.float32)
 
-    if name == "raft_small":
-        from ..models import RAFTSmall
-        from ..models.raft import load_raft_small_synth as loader
+    if name in ("raft_small", "raft_large"):
+        from ..models import RAFT, RAFTSmall
+        from ..models.raft import load_raft_small_synth, load_raft_synth
 
-        model = RAFTSmall()
+        model = RAFTSmall() if name == "raft_small" else RAFT()
+        loader = load_raft_small_synth if name == "raft_small" else load_raft_synth
         init = lambda key: model.init(key, i0, i0, 2)
 
         def step_body(s, b):
             return train_step(model, tx, s, b, iters=args.iters)
+    elif name == "pwcnet":
+        from ..models import PWCNet
+        from ..models.pwcnet import load_pwcnet_synth as loader
+        from ..core.resize import resize_area
+
+        model = PWCNet()
+        init = lambda key: model.init(key, i0, i0)
+        # original PWC multi-scale supervision: per-level L1 against the GT
+        # downsampled to each level's resolution, in the net's /20 units
+        # (fine->coarse weights from the PWC-Net paper schedule)
+        lvl_w = {6: 0.32, 5: 0.08, 4: 0.02, 3: 0.01, 2: 0.005}
+
+        def step_body(s, b):
+            def loss_fn(params):
+                def one(i1, i2, gt):
+                    _, pyr = model.apply(params, i1, i2, return_pyramid=True)
+                    total = 0.0
+                    for lvl, fl in pyr.items():
+                        Hl, Wl = fl.shape[0], fl.shape[1]
+                        gt_l = resize_area(
+                            gt.transpose(2, 0, 1), (Hl, Wl)
+                        ).transpose(1, 2, 0) * (1.0 / 20.0)
+                        total = total + lvl_w[lvl] * jnp.abs(fl - gt_l).mean()
+                    return total
+
+                return jnp.mean(jax.vmap(one)(b["img1"], b["img2"], b["flow"]))
+
+            loss, grads = jax.value_and_grad(loss_fn)(s.params)
+            updates, opt_state = tx.update(grads, s.opt_state, s.params)
+            params = optax.apply_updates(s.params, updates)
+            return TrainState(params, opt_state, s.step + 1), loss
     else:
         from ..models import NeuFlowLite
         from ..models.neuflow import load_neuflow_lite_synth as loader
