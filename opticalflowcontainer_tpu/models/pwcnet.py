@@ -136,10 +136,14 @@ def estimate(model: PWCNet, params, img1: jax.Array, img2: jax.Array) -> jax.Arr
 
 
 def load_pwcnet_synth():
-    """Packaged PWC-Net weights, TPU-trained on synthetic affine motion with
-    the original multi-scale supervision (tools/train_flow.py; the
-    reference's sniklaus checkpoint download is unreachable offline,
-    reference pwc_net.py:219).  Returns (model, params) or None."""
+    """Packaged PWC-Net weights if present (tools/train_flow.py --model
+    pwcnet), else None.  NOTE: unlike RAFT/NeuFlowLite, from-scratch PWC did
+    not leave the predict-zero basin within this sandbox's training horizon —
+    measured flat loss over 8k steps even after fixing the norm-free
+    extractor's init-scale collapse (see train_flow._kaiming_rescale); the
+    original trains ~1.2M iterations.  PWC's real-weights path is the
+    parity-proven converter (convert.convert_pwcnet + the reference's
+    sniklaus checkpoint, reference pwc_net.py:219)."""
     from .raft import _load_weights_npz
 
     return _load_weights_npz("pwcnet_synth.npz", PWCNet())

@@ -153,7 +153,27 @@ def main(argv=None):
         from ..core.resize import resize_area
 
         model = PWCNet()
-        init = lambda key: model.init(key, i0, i0)
+
+        def _kaiming_rescale(tree, gain=1.55):
+            # flax lecun_normal decays activation std ~0.7x per leaky conv
+            # and PWC's 18-conv norm-free extractor collapses to ~1e-4 std by
+            # level 6 (measured), leaving training in the predict-zero basin.
+            # The theoretical leaky-kaiming gain (1.407) still decayed
+            # ~0.89x/conv empirically; 1.55 measures flat (level stds
+            # 0.33-0.62).  Init-time only — checkpoint compat untouched.
+            def walk(d):
+                for v in d.values():
+                    if isinstance(v, dict):
+                        walk(v)
+                if "kernel" in d:
+                    d["kernel"] = d["kernel"] * gain
+            import jax.tree_util  # noqa: F401
+
+            tree = jax.tree_util.tree_map(lambda x: x, tree)  # copy
+            walk(tree["params"])
+            return tree
+
+        init = lambda key: _kaiming_rescale(model.init(key, i0, i0))
         # original PWC multi-scale supervision: per-level L1 against the GT
         # downsampled to each level's resolution, in the net's /20 units
         # (fine->coarse weights from the PWC-Net paper schedule)
