@@ -23,6 +23,10 @@ def main(argv=None):
     ap.add_argument("--fused", action="store_true",
                     help="fused device path: ingest->flow->velocity scalar "
                          "in one program per frame (runtime.fused)")
+    ap.add_argument("--model", default="farneback",
+                    choices=("farneback", "neuflow", "raft", "raft_large"),
+                    help="flow backend; learned models use the packaged "
+                         "TPU-trained weights and the fused model path")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -46,7 +50,30 @@ def main(argv=None):
         pixel_to_meter=pixel_to_meter,
     )
     fb_kwargs = dict(levels=2, winsize=13, iterations=2)
-    if args.fused:
+    if args.model != "farneback":
+        import functools
+
+        from .fused import make_fused_model_backend
+
+        if args.model == "neuflow":
+            from ..models.neuflow import estimate, load_neuflow_lite_synth
+
+            loaded = load_neuflow_lite_synth()
+        else:
+            from ..models.raft import (
+                estimate as raft_estimate,
+                load_raft_small_synth,
+                load_raft_synth,
+            )
+
+            estimate = functools.partial(raft_estimate, iters=8)
+            loaded = (load_raft_synth() if args.model == "raft_large"
+                      else load_raft_small_synth())
+        if loaded is None:
+            print(f"no packaged weights for {args.model}")
+            return 1
+        backend = make_fused_model_backend(loaded[0], loaded[1], estimate)
+    elif args.fused:
         from .fused import make_fused_farneback_backend
 
         backend = make_fused_farneback_backend(**fb_kwargs)
@@ -62,7 +89,7 @@ def main(argv=None):
     # pre-warm: compile the backend before streaming so no frames are dropped
     # to jit latency (the reference warms its model in the node ctor too)
     f0, f1 = cam.frame_at(0), cam.frame_at(1)
-    if args.fused:
+    if args.fused or args.model != "farneback":
         backend.stream.warmup(f0)
         backend.stream.reset()
     else:
