@@ -117,3 +117,42 @@ def test_farneback_block_path_cv2_parity(rng, monkeypatch):
         jnp.asarray(b.astype(np.uint8), jnp.float32), **kw))
     d = np.linalg.norm(got - exact, axis=-1)
     assert d.mean() < 5e-3 and d.max() < 0.05, (d.mean(), d.max())
+
+
+def test_farneback_block_path_rotation_stress(rng, monkeypatch):
+    """Rotation + zoom is the block-warp's worst case: within-block
+    displacement deviation grows with |grad flow| x block size, and the
+    production slack (classical/farneback.py BLOCK_WARP_SLACK) must keep the
+    approximation within the <=0.1 px accuracy bar.  Hardware sweep context:
+    slack 1 fails at 1.52 px, slack 2 holds at 0.056 px on 720p (farneback.py
+    notes); this encodes the same guard at CI scale."""
+    cv2 = pytest.importorskip("cv2")
+    import opticalflowcontainer_tpu.classical.farneback as fb
+
+    H, W = 96, 128
+    base = cv2.GaussianBlur(
+        rng.uniform(0, 255, (H + 64, W + 64)).astype(np.float32), (0, 0), 1.5
+    )
+    M = cv2.getRotationMatrix2D((W / 2 + 32, H / 2 + 32), 1.5, 1.02)
+    M[:, 2] += (2.0, -1.0)
+    a = base[32 : 32 + H, 32 : 32 + W].astype(np.uint8)
+    b = cv2.warpAffine(base, M, base.shape[::-1])[
+        32 : 32 + H, 32 : 32 + W
+    ].astype(np.uint8)
+    kw = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+              poly_n=5, poly_sigma=1.2)
+    ref = cv2.calcOpticalFlowFarneback(a, b, None, **kw, flags=0)
+
+    # exact gather path (approximation-free oracle)
+    exact = np.asarray(fb.calc_optical_flow_farneback(
+        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32), **kw))
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "_on_tpu", lambda: True)
+    got = np.asarray(fb.calc_optical_flow_farneback(
+        jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32), **kw))
+
+    kernel_err = np.linalg.norm(got - exact, axis=-1)
+    assert kernel_err.mean() < 0.05, kernel_err.mean()
+    epe = np.linalg.norm(got - ref, axis=-1)
+    assert epe.mean() < 0.1, epe.mean()
