@@ -60,12 +60,16 @@ OPTFLOW_FARNEBACK_GAUSSIAN = 256
 # Set BLOCK_WARP = False to force the exact gather on TPU (e.g. for parity
 # debugging).
 BLOCK_WARP = True
-BLOCK_WARP_BLOCK = (16, 128)  # Mosaic tiling wants (8k, 128k) blocks
-# slack sweep on a 720p 1.5-degree-rotation + 1.02-zoom pair (device EPE vs
-# cv2 / ms per B=8 warp): s1 1.52 px (fails) / 12.7 ms; s2 0.056 / 12.7;
-# s3 0.038 / 17.9; s4 0.038 / ~20.  Bigger blocks lose accuracy faster than
-# they save traffic ((32,256) s3 = 0.30 px).  s2 holds the <=0.1 px bar with
-# 29% less warp time; pure-translation fields measure 0.0008 px either way.
+# Hardware-swept geometry (720p 1.5-degree-rotation + 1.02-zoom stress;
+# device EPE vs cv2 / ms per B=8 double-buffered warp):
+#   (16,128) s1 1.52 px (FAILS the 0.1 bar);  (16,128) s2 0.056 / 12.2;
+#   (16,128) s3 0.038 / 15.7;  (24,128) s2 0.059 / 10.7;
+#   (32,128) s2 0.065 / 10.3;  (32,256) s2 3.09 (FAILS), s3 0.30 (FAILS).
+# Taller blocks amortize the 8-row sublane DMA quantization (y-deviation from
+# rotation stays small); wider blocks blow the x-deviation budget.  Shipped:
+# (32,128) slack 2 — fastest config under the bar; pure-translation fields
+# measure 0.0008 px in every config.
+BLOCK_WARP_BLOCK = (32, 128)
 BLOCK_WARP_SLACK = 2
 BLOCK_WARP_PAD = (40, 192)  # (pad_y, pad_x): room for the tile-aligned patch + displacement range
 BLOCK_WARP_DTYPE = jnp.bfloat16  # patch DMA dtype; accumulation stays fp32
