@@ -34,8 +34,9 @@ def main(argv=None):
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--reps", type=int, default=None)
-    ap.add_argument("--check-epe", action="store_true",
-                    help="also verify EPE vs cv2 on the device path")
+    ap.add_argument("--check-epe", action="store_true", default=True,
+                    help="verify EPE vs cv2 on the device path (default on)")
+    ap.add_argument("--no-check-epe", dest="check_epe", action="store_false")
     ap.add_argument("--no-stream", action="store_true",
                     help="skip the streaming p50-latency leg")
     args = ap.parse_args(argv)
