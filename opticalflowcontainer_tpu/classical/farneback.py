@@ -73,6 +73,9 @@ BLOCK_WARP_BLOCK = (32, 128)
 BLOCK_WARP_SLACK = 2
 BLOCK_WARP_PAD = (40, 192)  # (pad_y, pad_x): room for the tile-aligned patch + displacement range
 BLOCK_WARP_DTYPE = jnp.bfloat16  # patch DMA dtype; accumulation stays fp32
+BLOCK_WARP_REALIGN = "roll"  # patch realign: "roll" (lane rotates) | "matmul"
+BLOCK_WARP_PHASES = 2  # 64-lane-shifted source copies: narrower patches
+BLOCK_WARP_FUSE = True  # fuse the normal-equation epilogue into the kernel
 BLOCK_WARP_INTERPRET = False  # tests: run the Pallas kernel interpreted on CPU
 
 # Edge ramp (5 px) applied to the expansion coefficients near image borders
@@ -264,24 +267,42 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _update_matrices_planes(R0: jax.Array, R1pad: jax.Array,
-                            u: jax.Array, v: jax.Array) -> jax.Array:
+def _update_matrices_planes(R0p: jax.Array, R1pad: jax.Array,
+                            u: jax.Array, v: jax.Array,
+                            img_hw: tuple[int, int]) -> jax.Array:
     """Plane-major normal equations [B, 5, H, W] using the block-patch warp
     kernel for the R1 sampling (semantics identical to _update_matrices; the
-    inb/border logic is recomputed exactly here)."""
-    from ..ops.blockwarp import block_warp_bilinear
+    inb/border logic is recomputed exactly here).  ``R0p`` is frame-0's
+    expansion replicate-extended to the warp block grid; ``img_hw`` is the
+    real level size."""
+    from ..ops.blockwarp import (
+        block_warp_bilinear,
+        block_warp_farneback_update,
+    )
 
-    B, _, H, W = R0.shape
-    bh, bw = BLOCK_WARP_BLOCK
-    H16, W16 = _round_up(H, bh), _round_up(W, bw)
+    H, W = img_hw
+    B = u.shape[0]
+    H16, W16 = R0p.shape[-2], R0p.shape[-1]
 
     up = jnp.pad(u, ((0, 0), (0, H16 - H), (0, W16 - W)), mode="edge")
     vp = jnp.pad(v, ((0, 0), (0, H16 - H), (0, W16 - W)), mode="edge")
+    if BLOCK_WARP_FUSE:
+        M = block_warp_farneback_update(
+            R0p, R1pad, up, vp, img_hw=img_hw, ramp=tuple(_BORDER_RAMP),
+            block=BLOCK_WARP_BLOCK, slack=BLOCK_WARP_SLACK,
+            pad=BLOCK_WARP_PAD, compute_dtype=BLOCK_WARP_DTYPE,
+            interpret=BLOCK_WARP_INTERPRET, realign=BLOCK_WARP_REALIGN,
+            phases=BLOCK_WARP_PHASES,
+        )
+        return M[..., :H, :W]
+
+    R0 = R0p[..., :H, :W]
     R1s = block_warp_bilinear(
         R1pad, up, vp,
         block=BLOCK_WARP_BLOCK, slack=BLOCK_WARP_SLACK, pad=BLOCK_WARP_PAD,
         src_padded=True, compute_dtype=BLOCK_WARP_DTYPE,
-        interpret=BLOCK_WARP_INTERPRET,
+        interpret=BLOCK_WARP_INTERPRET, realign=BLOCK_WARP_REALIGN,
+        phases=BLOCK_WARP_PHASES,
     )[..., :H, :W]
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -523,13 +544,17 @@ def calc_optical_flow_farneback(
                 return jnp.einsum("...hw,pw->...hp", t, Ch,
                                   preferred_element_type=jnp.float32)
 
-            R0 = _poly_planes(prep(prev_b), poly_n, poly_sigma, 0, 0, lh, lw)
+            # R0 replicate-extended to the warp block grid so the fused
+            # kernel can read it block-aligned (values past (lh, lw) are
+            # never used)
+            R0 = _poly_planes(prep(prev_b), poly_n, poly_sigma, 0, 0,
+                              _round_up(lh, bh), _round_up(lw, bwd))
             pad_y, pad_x = BLOCK_WARP_PAD
             R1p = _poly_planes(prep(next_b), poly_n, poly_sigma,
                                pad_y, pad_x, _round_up(lh, bh),
                                _round_up(lw, bwd))
             for _ in range(iterations):
-                M = _update_matrices_planes(R0, R1p, u, v)
+                M = _update_matrices_planes(R0, R1p, u, v, (lh, lw))
                 u, v = _solve_flow_planes(M, winsize, use_gauss)
         return jnp.stack([u, v], axis=-1).reshape(batch + (H, W, 2))
 

@@ -20,13 +20,17 @@ no gather anywhere.
 
 TPU geometry (discovered by probing Mosaic, see the round-2 notes):
 - DMA slice SHAPES and OFFSETS must both be tile-aligned — (8, 128) on the
-  (sublane, lane) dims.  The kernel therefore DMAs at the quantized origin
-  ``(y0 & ~7, x0 & ~127)`` with a patch enlarged by one tile per axis, and
-  realigns in-VMEM with dynamic rotates (``pltpu.roll`` with a traced shift),
-  which makes the selection arithmetic identical to the unquantized design.
-- Patch: ``(round8(bh + 2*slack + 8), round128(bw + 2*slack + 128))``.
-- Blocks default to (16, 128): lane-dim 128 keeps every select at full VPU
-  width; 16 rows amortize the 8-row sublane quantization.
+  (sublane, lane) dims.  The kernel therefore DMAs at a tile-quantized origin
+  with a patch enlarged by the quantization margin, and realigns in-VMEM:
+  sublanes via a {0,1} permutation matmul (exact: bf16 operands, fp32
+  accumulation), lanes via ONE dynamic lane rotate (``realign='roll'``,
+  measured fastest) or a second permutation matmul (``realign='matmul'``).
+- ``phases=2`` halves the lane margin by keeping a second, 64-lane-shifted
+  copy of the source in HBM (patch 384 -> 256 lanes at bw=128: less DMA and
+  a cheaper realign; measured 7.55 vs 10.3 ms per B=8 720p warp).
+- Patch: ``(round8(bh + 2*slack + 8), round128(bw + 2*slack + 128/phases))``.
+- Lane-dim 128 blocks keep every select at full VPU width; taller blocks
+  amortize the 8-row sublane quantization (Farneback ships (32, 128)).
 
 Border handling: the source is replicate- (or zero-) padded by
 ``pad = (pad_y, pad_x)`` before the kernel runs and patch origins are clipped
@@ -66,21 +70,25 @@ def _pad_src(src, pad_y, pad_x, pad_mode):
     return jnp.pad(src, cfg)  # zeros
 
 
-def _geometry(block, slack, pad):
+def _geometry(block, slack, pad, phases=1):
+    """``phases`` > 1 keeps that many 64/128-lane-shifted copies of the source
+    in HBM so the patch's lane-quantization margin shrinks from 127 to
+    128//phases - 1 — a narrower patch means less DMA traffic and a cheaper
+    realign.  phases=2 turns the (128,)-block 384-lane patch into 256."""
     bh, bw = block
     pad_y, pad_x = (pad, pad) if isinstance(pad, int) else pad
     ph = _round_up(bh + 2 * slack + 1 + 7, 8)
-    pw = _round_up(bw + 2 * slack + 1 + 127, 128)
+    pw = _round_up(bw + 2 * slack + 1 + (128 // phases - 1), 128)
     assert pad_y > slack and pad_x > slack, (pad, slack)
     return bh, bw, pad_y, pad_x, ph, pw
 
 
-def _block_bases(u, v, block, slack, pad, Hp, Wp):
+def _block_bases(u, v, block, slack, pad, Hp, Wp, phases=1):
     """Per-block UNQUANTIZED patch origins in padded coordinates, clipped so
-    the quantized patch always fits: y0 in [0, Hp-ph+7], x0 in [0, Wp-pw+127]
-    (then (y0 & ~7) + ph <= Hp etc. because Hp % 8 == 0 and Wp % 128 == 0).
-    Returns int32 [B, H//bh, W//bw] (y0, x0)."""
-    bh, bw, pad_y, pad_x, ph, pw = _geometry(block, slack, pad)
+    the quantized patch always fits: y0 in [0, Hp-ph+7], x0 in
+    [0, Wp-pw+(128//phases-1)] (quantizing down then eats the margin because
+    Hp % 8 == 0 and Wp % 128 == 0).  Returns int32 [B, H//bh, W//bw]."""
+    bh, bw, pad_y, pad_x, ph, pw = _geometry(block, slack, pad, phases)
     B, H, W = u.shape
     nby, nbx = H // bh, W // bw
     ub = u.reshape(B, nby, bh, nbx, bw).mean(axis=(2, 4))
@@ -90,12 +98,29 @@ def _block_bases(u, v, block, slack, pad, Hp, Wp):
     gy = (jnp.arange(nby, dtype=jnp.int32) * bh)[None, :, None]
     gx = (jnp.arange(nbx, dtype=jnp.int32) * bw)[None, None, :]
     y0 = jnp.clip(gy + pad_y + bdy - slack, 0, Hp - ph + 7)
-    x0 = jnp.clip(gx + pad_x + bdx - slack, 0, Wp - pw + 127)
+    x0 = jnp.clip(gx + pad_x + bdx - slack, 0, Wp - pw + (128 // phases - 1))
     return y0, x0
 
 
-def _kernel(x0_ref, y0_ref, src_ref, u_ref, v_ref, out_ref, patch, sem,
-            *, bh, bw, ph, pw, slack, pad_y, pad_x, nby, nbx, nb_total):
+def _roll_lanes(f, shift, use_pltpu):
+    """Left-rotate f32 [..., L] lanes by a traced ``shift`` in [0, L).
+    ``pltpu.roll`` requires a NON-NEGATIVE shift, so the left rotate is issued
+    as a right rotate by L - shift — probed exact on this backend for dynamic
+    shifts at L=384 f32 (the earlier dynamic-roll miscompile repro used
+    negative shifts/bf16).  Interpret mode uses a doubled-array slice."""
+    L = f.shape[-1]
+    if use_pltpu:
+        return pltpu.roll(f, jax.lax.rem(L - shift, L), f.ndim - 1)
+    d = jnp.concatenate([f, f], axis=-1)
+    return jax.lax.dynamic_slice_in_dim(d, shift, L, axis=f.ndim - 1)
+
+
+def _warp_block_core(x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem,
+                     *, bh, bw, ph, pw, slack, pad_y, pad_x, nby, nbx,
+                     nb_total, realign, interpret, phases):
+    """Shared kernel body: patch DMA pipeline + realign + bilinear selection.
+    Returns (acc, u, v, xf, yf, il, jl, i, j) so epilogue variants can fuse
+    further per-pixel math without a second pass over HBM."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -106,13 +131,18 @@ def _kernel(x0_ref, y0_ref, src_ref, u_ref, v_ref, out_ref, patch, sem,
     n = (b * nby + i) * nbx + j
     slot = jax.lax.rem(n, 2)
 
+    qx_unit = 128 // phases
+
     def copy_for(bb, ii, jj, sl):
         yy = y0_ref[bb, ii, jj]
         xx = x0_ref[bb, ii, jj]
         yq = pl.multiple_of((yy // 8) * 8, 8)
-        xq = pl.multiple_of((xx // 128) * 128, 128)
+        # phase copy p holds src shifted left by p*qx_unit lanes, so the
+        # 128-aligned DMA origin only misses the true origin by < qx_unit
+        phx = (xx // qx_unit) % phases
+        xq = pl.multiple_of(((xx - phx * qx_unit) // 128) * 128, 128)
         return pltpu.make_async_copy(
-            src_ref.at[bb, :, pl.ds(yq, ph), pl.ds(xq, pw)],
+            src_ref.at[phx, bb, :, pl.ds(yq, ph), pl.ds(xq, pw)],
             patch.at[sl], sem.at[sl],
         )
 
@@ -131,7 +161,10 @@ def _kernel(x0_ref, y0_ref, src_ref, u_ref, v_ref, out_ref, patch, sem,
     y0 = y0_ref[b, i, j]
     x0 = x0_ref[b, i, j]
     y0q = pl.multiple_of((y0 // 8) * 8, 8)
-    x0q = pl.multiple_of((x0 // 128) * 128, 128)
+    # selection below only reads rows [0, win_h) and lanes [0, win_w) of the
+    # realigned patch; realign only that window (rounded up to the tile)
+    rh = _round_up(bh + 2 * slack + 1, 8)
+    rw = _round_up(bw + 2 * slack + 1, 128)
 
     u = u_ref[0]
     v = v_ref[0]
@@ -165,50 +198,125 @@ def _kernel(x0_ref, y0_ref, src_ref, u_ref, v_ref, out_ref, patch, sem,
 
     copy_for(b, i, j, slot).wait()
     # Realign the tile-quantized patch so that p[c, r, l] = src[y0+r, x0+l].
-    # pltpu.roll(dynamic) miscompiles on non-power-of-2 lane counts and has
-    # no bf16 lowering (probed on this backend), so realignment is done as
-    # permutation MATMULS on the MXU — exact: one operand is {0,1} and
-    # accumulation is fp32 (HIGHEST precision covers the f32-patch case).
+    # Sublanes: {0,1} permutation matmul (exact: bf16 operands, fp32
+    # accumulation).  Lanes: one dynamic rotate ('roll') or a second
+    # permutation matmul ('matmul'); bf16 has no pltpu.roll lowering, so the
+    # rotate runs on the f32 result of the sublane matmul.
     p = patch[slot]
     C = p.shape[0]
     yrem = y0 - y0q
-    xrem = x0 - x0q
-    r_ = jax.lax.broadcasted_iota(jnp.int32, (ph, ph), 0)
-    s_ = jax.lax.broadcasted_iota(jnp.int32, (ph, ph), 1)
+    xrem = jax.lax.rem(x0, qx_unit)  # offset of x0 within its phase copy
+    r_ = jax.lax.broadcasted_iota(jnp.int32, (rh, ph), 0)
+    s_ = jax.lax.broadcasted_iota(jnp.int32, (rh, ph), 1)
     Ty = ((r_ + yrem) % ph == s_).astype(jnp.bfloat16)
-    m_ = jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 0)
-    l_ = jax.lax.broadcasted_iota(jnp.int32, (pw, pw), 1)
-    Tx = (m_ == (l_ + xrem) % pw).astype(jnp.bfloat16)
 
-    def permute(pp):  # bf16 [C, ph, pw] -> f32, exact (operands are {0,1})
-        q = jnp.einsum("rs,csl->crl", Ty, pp,
-                       preferred_element_type=jnp.float32)
-        q = jnp.dot(q.reshape(C * ph, pw).astype(jnp.bfloat16), Tx,
-                    preferred_element_type=jnp.float32)
-        return q.reshape(C, ph, pw)
+    def permute_y(pp):  # bf16 [C, ph, pw] -> f32 [C, rh, pw], exact ({0,1} op)
+        return jnp.einsum("rs,csl->crl", Ty, pp,
+                          preferred_element_type=jnp.float32)
 
-    if patch.dtype == jnp.bfloat16:
-        p = permute(p)
-    else:
+    def realign_y(pp):
+        if pp.dtype == jnp.bfloat16:
+            return permute_y(pp)
         # exact f32 permutation: 3-way bf16 split covers the f32 mantissa
-        p32 = p.astype(jnp.float32)
+        p32 = pp.astype(jnp.float32)
         p0 = p32.astype(jnp.bfloat16)
         res1 = p32 - p0.astype(jnp.float32)
         p1 = res1.astype(jnp.bfloat16)
         p2 = (res1 - p1.astype(jnp.float32)).astype(jnp.bfloat16)
-        p = permute(p0) + permute(p1) + permute(p2)
+        return permute_y(p0) + permute_y(p1) + permute_y(p2)
+
+    if realign == "none":
+        # floor-probe mode (numerically WRONG unless xrem == yrem == 0):
+        # skips realignment entirely to expose the DMA/selection bound.
+        p = p.astype(jnp.float32)[:, :rh, :]
+    elif realign == "roll":
+        # Lane realign via ONE dynamic lane rotate of the f32 result of the
+        # (cheap) sublane permutation matmul — replaces the dominant
+        # [pw, pw] lane-permutation matmul.
+        p = _roll_lanes(realign_y(p), xrem, use_pltpu=not interpret)
+    else:
+        m_ = jax.lax.broadcasted_iota(jnp.int32, (pw, rw), 0)
+        l_ = jax.lax.broadcasted_iota(jnp.int32, (pw, rw), 1)
+        Tx = (m_ == (l_ + xrem) % pw).astype(jnp.bfloat16)
+
+        def permute_x(q):  # f32 [C, rh, pw] -> f32 [C, rh, rw]
+            q = jnp.dot(q.reshape(C * rh, pw).astype(jnp.bfloat16), Tx,
+                        preferred_element_type=jnp.float32)
+            return q.reshape(C, rh, rw)
+
+        if patch.dtype == jnp.bfloat16:
+            p = permute_x(permute_y(p))
+        else:
+            p32 = p.astype(jnp.float32)
+            p0 = p32.astype(jnp.bfloat16)
+            res1 = p32 - p0.astype(jnp.float32)
+            p1 = res1.astype(jnp.bfloat16)
+            p2 = (res1 - p1.astype(jnp.float32)).astype(jnp.bfloat16)
+            p = (permute_x(permute_y(p0)) + permute_x(permute_y(p1))
+                 + permute_x(permute_y(p2)))
     acc = jnp.zeros((C, bh, bw), jnp.float32)
     for a in range(nsel):
         for t in range(nsel):
             w = (wys[a] * wxs[t])[None]
             acc = acc + w * p[:, a : a + bh, t : t + bw].astype(jnp.float32)
+    return acc, u, v, xf, yf, il, jl, i, j
+
+
+def _kernel(x0_ref, y0_ref, src_ref, u_ref, v_ref, out_ref, patch, sem, **kw):
+    acc = _warp_block_core(x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem,
+                           **kw)[0]
     out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _kernel_farneback_update(x0_ref, y0_ref, src_ref, u_ref, v_ref, r0_ref,
+                             out_ref, patch, sem, *, img_h, img_w, ramp, **kw):
+    """Fused Farneback update: warp frame-1's expansion planes AND accumulate
+    the per-pixel normal equations in one pass — the warped planes never
+    round-trip through HBM.  Epilogue mirrors
+    classical/farneback.py:_update_matrices_planes exactly (same channel
+    order bx, by, axx, ayy, qxy in; G00, G01, G11, h1, h2 out)."""
+    acc, u, v, xf, yf, il, jl, i, j = _warp_block_core(
+        x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem, **kw)
+    pad_y, pad_x, bh, bw = kw["pad_y"], kw["pad_x"], kw["bh"], kw["bw"]
+    # cv2's in-bounds test: all four taps strictly inside the REAL image
+    xi = xf.astype(jnp.int32) - pad_x
+    yi = yf.astype(jnp.int32) - pad_y
+    inb = (xi >= 0) & (xi < img_w - 1) & (yi >= 0) & (yi < img_h - 1)
+    R0 = r0_ref[0].astype(jnp.float32)  # [5, bh, bw]
+    axx = jnp.where(inb, (R0[2] + acc[2]) * 0.5, R0[2])
+    ayy = jnp.where(inb, (R0[3] + acc[3]) * 0.5, R0[3])
+    axy = jnp.where(inb, (R0[4] + acc[4]) * 0.25, R0[4] * 0.5)
+    dbx = jnp.where(inb, (R0[0] - acc[0]) * 0.5, 0.0) + axx * u + axy * v
+    dby = jnp.where(inb, (R0[1] - acc[1]) * 0.5, 0.0) + axy * u + ayy * v
+    # separable border down-weight ramp, computed from the block's global
+    # pixel coordinates (product form also covers overlapping edges)
+    xr = jl + j * bw
+    yr = il + i * bh
+    wgt = jnp.ones((bh, bw), jnp.float32)
+    for d, rv in enumerate(ramp):
+        wgt = (wgt
+               * jnp.where(xr == d, rv, 1.0)
+               * jnp.where(xr == img_w - 1 - d, rv, 1.0)
+               * jnp.where(yr == d, rv, 1.0)
+               * jnp.where(yr == img_h - 1 - d, rv, 1.0))
+    axx = axx * wgt
+    ayy = ayy * wgt
+    axy = axy * wgt
+    dbx = dbx * wgt
+    dby = dby * wgt
+    out_ref[0] = jnp.stack([
+        axx * axx + axy * axy,
+        (axx + ayy) * axy,
+        ayy * ayy + axy * axy,
+        axx * dbx + axy * dby,
+        axy * dbx + ayy * dby,
+    ]).astype(out_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block", "slack", "pad", "pad_mode", "src_padded",
-                     "interpret", "compute_dtype"),
+                     "interpret", "compute_dtype", "realign", "phases"),
 )
 def block_warp_bilinear(
     src: jax.Array,
@@ -222,6 +330,8 @@ def block_warp_bilinear(
     src_padded: bool = False,
     interpret: bool = False,
     compute_dtype=None,
+    realign: str = "roll",
+    phases: int = 1,
 ) -> jax.Array:
     """Backward-warp ``src`` by (u, v) with block-patch bilinear sampling.
 
@@ -232,8 +342,11 @@ def block_warp_bilinear(
     (H + 2*pad_y) % 8 == 0, (W + 2*pad_x) % 128 == 0 (pad shapes at the call
     site).  Returns [B, C, H, W] float32.  ``compute_dtype`` casts the DMA'd
     patches (bf16 halves HBM traffic; accumulation stays fp32).
+    ``phases=2`` keeps a second, 64-lane-left-shifted copy of the source in
+    HBM, shrinking the patch's lane-quantization margin (and so the patch
+    width, DMA traffic and realign cost) — numerically identical.
     """
-    bh, bw, pad_y, pad_x, ph, pw = _geometry(block, slack, pad)
+    bh, bw, pad_y, pad_x, ph, pw = _geometry(block, slack, pad, phases)
     if src_padded:
         B, C, Hp, Wp = src.shape
         H, W = Hp - 2 * pad_y, Wp - 2 * pad_x
@@ -248,9 +361,17 @@ def block_warp_bilinear(
     # equal to the array dims.
     assert (bh % 8 == 0 or bh == H) and (bw % 128 == 0 or bw == W), (block, H, W)
     nby, nbx = H // bh, W // bw
-    y0, x0 = _block_bases(u, v, block, slack, pad, Hp, Wp)
+    y0, x0 = _block_bases(u, v, block, slack, pad, Hp, Wp, phases)
     cdtype = compute_dtype or src.dtype
     src = src.astype(cdtype)
+    if phases == 1:
+        srcs = src[None]
+    else:
+        assert phases == 2, phases
+        # phase copy 1 = source shifted left 64 lanes (kernel never reads the
+        # wrapped tail — the x0 clip keeps phase-1 patches 64 lanes short of
+        # the edge)
+        srcs = jnp.stack([src, jnp.roll(src, -64, axis=-1)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -272,24 +393,107 @@ def block_warp_bilinear(
         _kernel, bh=bh, bw=bw, ph=ph, pw=pw,
         slack=slack, pad_y=pad_y, pad_x=pad_x,
         nby=nby, nbx=nbx, nb_total=B * nby * nbx,
+        realign=realign, interpret=interpret, phases=phases,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         interpret=interpret,
-    )(x0, y0, src, u, v)
+    )(x0, y0, srcs, u, v)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("img_hw", "ramp", "block", "slack", "pad", "interpret",
+                     "compute_dtype", "realign", "phases"),
+)
+def block_warp_farneback_update(
+    r0: jax.Array,
+    r1_padded: jax.Array,
+    u: jax.Array,
+    v: jax.Array,
+    *,
+    img_hw: tuple[int, int],
+    ramp: tuple[float, ...] = (),
+    block: tuple[int, int] = (32, 128),
+    slack: int = 2,
+    pad: int | tuple[int, int] = (40, 192),
+    interpret: bool = False,
+    compute_dtype=None,
+    realign: str = "roll",
+    phases: int = 2,
+) -> jax.Array:
+    """Fused Farneback iteration update: block-patch warp of frame-1's
+    expansion planes + per-pixel normal-equation accumulation in ONE kernel
+    pass (the warped planes never round-trip through HBM — saves ~300 MB per
+    720p B=8 call vs warp-then-XLA-elementwise).
+
+    r0: [B, 5, H, W] frame-0 expansion planes, H/W rounded up to ``block``
+    (replicate-extended past ``img_hw``); r1_padded: [B, 5, H+2*pad_y,
+    W+2*pad_x] frame-1 planes; u, v: [B, H, W].  Returns M = [B, 5, H, W]
+    (G00, G01, G11, h1, h2), valid inside ``img_hw``.  Semantics match
+    classical/farneback.py:_update_matrices_planes exactly.
+    """
+    bh, bw, pad_y, pad_x, ph, pw = _geometry(block, slack, pad, phases)
+    B, C, Hp, Wp = r1_padded.shape
+    H, W = Hp - 2 * pad_y, Wp - 2 * pad_x
+    assert r0.shape == (B, C, H, W), (r0.shape, (B, C, H, W))
+    assert H % bh == 0 and W % bw == 0, (H, W, block)
+    assert Hp % 8 == 0 and Wp % 128 == 0, (Hp, Wp)
+    assert ph <= Hp and pw <= Wp, ("image too small", (ph, pw), (Hp, Wp))
+    nby, nbx = H // bh, W // bw
+    y0, x0 = _block_bases(u, v, block, slack, pad, Hp, Wp, phases)
+    cdtype = compute_dtype or r1_padded.dtype
+    src = r1_padded.astype(cdtype)
+    if phases == 1:
+        srcs = src[None]
+    else:
+        assert phases == 2, phases
+        srcs = jnp.stack([src, jnp.roll(src, -64, axis=-1)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nby, nbx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0: (b, i, j)),
+            pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0: (b, i, j)),
+            pl.BlockSpec((1, C, bh, bw), lambda b, i, j, x0, y0: (b, 0, i, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, C, bh, bw), lambda b, i, j, x0, y0: (b, 0, i, j)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, ph, pw), cdtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel_farneback_update, img_h=img_hw[0], img_w=img_hw[1],
+        ramp=tuple(float(r) for r in ramp),
+        bh=bh, bw=bw, ph=ph, pw=pw,
+        slack=slack, pad_y=pad_y, pad_x=pad_x,
+        nby=nby, nbx=nbx, nb_total=B * nby * nbx,
+        realign=realign, interpret=interpret, phases=phases,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
+        interpret=interpret,
+    )(x0, y0, srcs, u, v, r0)
 
 
 def block_warp_bilinear_reference(
     src, u, v, *, block=(16, 128), slack=3, pad=(40, 192), pad_mode="edge",
-    src_padded=False,
+    src_padded=False, phases=1,
 ) -> jax.Array:
     """Bit-identical lax/gather reference for the kernel's semantics
     (tests + CPU path).  After the kernel's in-VMEM realignment its selection
     is relative to the unquantized origin, so this reference needs no
-    quantization."""
-    bh, bw, pad_y, pad_x, ph, pw = _geometry(block, slack, pad)
+    quantization (``phases`` only moves the x0 clip at the far image edge)."""
+    bh, bw, pad_y, pad_x, ph, pw = _geometry(block, slack, pad, phases)
     if src_padded:
         B, C, Hp, Wp = src.shape
         H, W = Hp - 2 * pad_y, Wp - 2 * pad_x
@@ -297,7 +501,7 @@ def block_warp_bilinear_reference(
         B, C, H, W = src.shape
         src = _pad_src(src, pad_y, pad_x, pad_mode)
         Hp, Wp = H + 2 * pad_y, W + 2 * pad_x
-    y0, x0 = _block_bases(u, v, block, slack, pad, Hp, Wp)
+    y0, x0 = _block_bases(u, v, block, slack, pad, Hp, Wp, phases)
     y0p = jnp.repeat(jnp.repeat(y0, bh, axis=1), bw, axis=2)
     x0p = jnp.repeat(jnp.repeat(x0, bh, axis=1), bw, axis=2)
     gy = jnp.arange(H, dtype=jnp.float32)[None, :, None] + pad_y

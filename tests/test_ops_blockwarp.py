@@ -44,8 +44,9 @@ def _inb(u, v, H, W):
     return (x0 >= 0) & (x0 < W - 1) & (y0 >= 0) & (y0 < H - 1)
 
 
+@pytest.mark.parametrize("realign,phases", [("matmul", 1), ("roll", 1), ("roll", 2)])
 @pytest.mark.parametrize("flow", ["const", "big", "smooth"])
-def test_kernel_matches_reference_and_exact(flow, rng):
+def test_kernel_matches_reference_and_exact(flow, realign, phases, rng):
     B, C, H, W = 2, 5, 48, 256
     src = rng.normal(size=(B, C, H, W)).astype(np.float32)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
@@ -62,9 +63,10 @@ def test_kernel_matches_reference_and_exact(flow, rng):
         v = v.astype(np.float32)
 
     ref = np.asarray(block_warp_bilinear_reference(
-        jnp.asarray(src), jnp.asarray(u), jnp.asarray(v)))
+        jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), phases=phases))
     ker = np.asarray(block_warp_bilinear(
-        jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), interpret=True))
+        jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), interpret=True,
+        realign=realign, phases=phases))
     np.testing.assert_allclose(ker, ref, atol=1e-5)
 
     exact = _exact_bilinear(src, u, v)
@@ -83,6 +85,32 @@ def test_bf16_compute_dtype_close(rng):
         jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), interpret=True,
         compute_dtype=jnp.bfloat16))
     assert np.abs(bf16 - f32).max() < 0.05
+
+
+def test_fused_farneback_update_matches_unfused(rng, monkeypatch):
+    """The fused normal-equation kernel epilogue must reproduce the XLA
+    elementwise path bit-for-bit-close (same warp, same inb/border math)."""
+    import opticalflowcontainer_tpu.classical.farneback as fb
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    B, lh, lw = 2, 96, 160
+    bh, bw = fb.BLOCK_WARP_BLOCK
+    H16, W16 = fb._round_up(lh, bh), fb._round_up(lw, bw)
+    pad_y, pad_x = fb.BLOCK_WARP_PAD
+    img0 = jnp.asarray(rng.uniform(0, 255, (B, lh, lw)).astype(np.float32))
+    img1 = jnp.asarray(rng.uniform(0, 255, (B, lh, lw)).astype(np.float32))
+    R0 = fb._poly_planes(img0, 5, 1.2, 0, 0, H16, W16)
+    R1p = fb._poly_planes(img1, 5, 1.2, pad_y, pad_x, H16, W16)
+    yy, xx = np.mgrid[0:lh, 0:lw].astype(np.float32)
+    u = jnp.asarray(np.broadcast_to(2.0 + 0.01 * yy, (B, lh, lw)))
+    v = jnp.asarray(np.broadcast_to(-1.0 + 0.01 * xx, (B, lh, lw)))
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_FUSE", True)
+    fused = np.asarray(fb._update_matrices_planes(R0, R1p, u, v, (lh, lw)))
+    monkeypatch.setattr(fb, "BLOCK_WARP_FUSE", False)
+    unfused = np.asarray(fb._update_matrices_planes(R0, R1p, u, v, (lh, lw)))
+    scale = np.abs(unfused).max()
+    np.testing.assert_allclose(fused, unfused, atol=1e-4 * scale)
 
 
 def test_farneback_block_path_cv2_parity(rng, monkeypatch):
