@@ -76,6 +76,12 @@ BLOCK_WARP_DTYPE = jnp.bfloat16  # patch DMA dtype; accumulation stays fp32
 BLOCK_WARP_REALIGN = "roll"  # patch realign: "roll" (lane rotates) | "matmul"
 BLOCK_WARP_PHASES = 2  # 64-lane-shifted source copies: narrower patches
 BLOCK_WARP_FUSE = True  # fuse the normal-equation epilogue into the kernel
+# Pallas fused blur+2x2-solve (ops/solve2x2.py): measured SLOWER than the
+# XLA banded-matmul solve at 720p B=8 (131 vs 158 fields/s) — its 2x15
+# unaligned shifted-slice taps relayout per tap.  Kept off; the XLA solve's
+# bandwidth is cut by carrying M in bf16 instead (SOLVE_DTYPE).
+SOLVE_FUSE = False
+SOLVE_DTYPE = jnp.bfloat16  # M planes + blur intermediate; final math fp32
 BLOCK_WARP_INTERPRET = False  # tests: run the Pallas kernel interpreted on CPU
 
 # Edge ramp (5 px) applied to the expansion coefficients near image borders
@@ -223,11 +229,14 @@ def _replicate_rows(M: np.ndarray, rows_core: int, pad: int) -> np.ndarray:
 
 def _poly_planes(img: jax.Array, n: int, sigma: float,
                  pad_y: int, pad_x: int,
-                 rows_out: int, cols_out: int) -> jax.Array:
+                 rows_out: int, cols_out: int,
+                 out_dtype=None) -> jax.Array:
     """Polynomial expansion as plane-major
     [..., 5, rows_out+2*pad_y, cols_out+2*pad_x] (replicate-extended beyond
     the image; rows_out/cols_out >= H/W round the grid up to the warp block
-    size).  Channel order matches poly_exp: (bx, by, axx, ayy, qxy)."""
+    size).  Channel order matches poly_exp: (bx, by, axx, ayy, qxy).
+    ``out_dtype`` emits the planes pre-cast (e.g. bf16 for the warp kernel's
+    patch DMA — skips a separate full-resolution cast pass)."""
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_inverse(n, float(sigma))
     H, W = img.shape[-2], img.shape[-1]
     Vs = [
@@ -260,7 +269,8 @@ def _poly_planes(img: jax.Array, n: int, sigma: float,
     axx = ig03 * s0 + ig33 * sxx
     ayy = ig03 * s0 + ig33 * syy
     qxy = ig55 * sxy
-    return jnp.stack([bx, by, axx, ayy, qxy], axis=-3)
+    R = jnp.stack([bx, by, axx, ayy, qxy], axis=-3)
+    return R.astype(out_dtype) if out_dtype is not None else R
 
 
 def _round_up(x: int, m: int) -> int:
@@ -292,7 +302,7 @@ def _update_matrices_planes(R0p: jax.Array, R1pad: jax.Array,
             block=BLOCK_WARP_BLOCK, slack=BLOCK_WARP_SLACK,
             pad=BLOCK_WARP_PAD, compute_dtype=BLOCK_WARP_DTYPE,
             interpret=BLOCK_WARP_INTERPRET, realign=BLOCK_WARP_REALIGN,
-            phases=BLOCK_WARP_PHASES,
+            phases=BLOCK_WARP_PHASES, out_dtype=SOLVE_DTYPE,
         )
         return M[..., :H, :W]
 
@@ -333,12 +343,28 @@ def _update_matrices_planes(R0p: jax.Array, R1pad: jax.Array,
     G11 = ayy * ayy + axy * axy
     h1 = axx * dbx + axy * dby
     h2 = axy * dbx + ayy * dby
-    return jnp.stack([G00, G01, G11, h1, h2], axis=-3)
+    return jnp.stack([G00, G01, G11, h1, h2], axis=-3).astype(SOLVE_DTYPE)
 
 
 def _solve_flow_planes(M: jax.Array, winsize: int, gaussian: bool):
     """[B, 5, H, W] -> (u, v) [B, H, W] (plane-major twin of _solve_flow)."""
     H, W = M.shape[-2], M.shape[-1]
+    if SOLVE_FUSE and winsize // 2 <= 8:
+        # Fused Pallas blur+solve streams each block once (ops/solve2x2.py);
+        # the XLA form below round-trips two full-res intermediates.
+        # Replicate-padding to the block grid preserves the replicate border.
+        from ..ops.solve2x2 import blur_solve_2x2
+
+        H2, W2 = _round_up(H, 48), _round_up(W, 128)
+        bw_ = max(d for d in (640, 512, 384, 256, 128) if W2 % d == 0)
+        Mp = M
+        if (H2, W2) != (H, W):
+            Mp = jnp.pad(M, ((0, 0), (0, 0), (0, H2 - H), (0, W2 - W)),
+                         mode="edge")
+        u, v = blur_solve_2x2(Mp, winsize=winsize, gaussian=gaussian,
+                              block=(48, bw_),
+                              interpret=BLOCK_WARP_INTERPRET)
+        return u[..., :H, :W], v[..., :H, :W]
     if gaussian:
         m = winsize // 2
         sigma = m * 0.3
@@ -350,6 +376,12 @@ def _solve_flow_planes(M: jax.Array, winsize: int, gaussian: bool):
     Bv = jnp.asarray(_border_conv_matrix(H, kb, "replicate"))
     Bh = jnp.asarray(_border_conv_matrix(W, kb, "replicate"))
     Mb = jnp.einsum("oh,...hw->...ow", Bv, M, preferred_element_type=jnp.float32)
+    if M.dtype == jnp.bfloat16:
+        # keep the full-res intermediate in bf16 too: the solve is
+        # bandwidth-bound (~790 MB fp32 at 720p B=8) and the 2x2 solve's
+        # numerator/denominator share the blur error, so flow error stays
+        # ~1e-3 px (device EPE vs cv2 guards the 0.1 px bar)
+        Mb = Mb.astype(jnp.bfloat16)
     Mb = jnp.einsum("...hw,pw->...hp", Mb, Bh, preferred_element_type=jnp.float32)
     G00, G01, G11, h1, h2 = (Mb[:, c] for c in range(5))
     idet = 1.0 / (G00 * G11 - G01 * G01 + 1e-3)
@@ -552,7 +584,8 @@ def calc_optical_flow_farneback(
             pad_y, pad_x = BLOCK_WARP_PAD
             R1p = _poly_planes(prep(next_b), poly_n, poly_sigma,
                                pad_y, pad_x, _round_up(lh, bh),
-                               _round_up(lw, bwd))
+                               _round_up(lw, bwd),
+                               out_dtype=BLOCK_WARP_DTYPE)
             for _ in range(iterations):
                 M = _update_matrices_planes(R0, R1p, u, v, (lh, lw))
                 u, v = _solve_flow_planes(M, winsize, use_gauss)

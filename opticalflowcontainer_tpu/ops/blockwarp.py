@@ -406,7 +406,7 @@ def block_warp_bilinear(
 @functools.partial(
     jax.jit,
     static_argnames=("img_hw", "ramp", "block", "slack", "pad", "interpret",
-                     "compute_dtype", "realign", "phases"),
+                     "compute_dtype", "realign", "phases", "out_dtype"),
 )
 def block_warp_farneback_update(
     r0: jax.Array,
@@ -423,6 +423,7 @@ def block_warp_farneback_update(
     compute_dtype=None,
     realign: str = "roll",
     phases: int = 2,
+    out_dtype=jnp.float32,
 ) -> jax.Array:
     """Fused Farneback iteration update: block-patch warp of frame-1's
     expansion planes + per-pixel normal-equation accumulation in ONE kernel
@@ -480,7 +481,7 @@ def block_warp_farneback_update(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, C, H, W), out_dtype),
         interpret=interpret,
     )(x0, y0, srcs, u, v, r0)
 

@@ -93,6 +93,7 @@ def test_fused_farneback_update_matches_unfused(rng, monkeypatch):
     import opticalflowcontainer_tpu.classical.farneback as fb
 
     monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "SOLVE_DTYPE", jnp.float32)  # exact comparison
     B, lh, lw = 2, 96, 160
     bh, bw = fb.BLOCK_WARP_BLOCK
     H16, W16 = fb._round_up(lh, bh), fb._round_up(lw, bw)
