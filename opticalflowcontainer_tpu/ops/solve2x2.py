@@ -5,15 +5,23 @@ cv2's FarnebackUpdateFlow_Blur) blurs the 5 normal-equation planes
 [B, 5, H, W] over ``winsize`` (box, or Gaussian with the
 OPTFLOW_FARNEBACK_GAUSSIAN flag) and solves G d = h per pixel.  As XLA
 border-folded matmuls that is 2 big einsums whose intermediates round-trip
-HBM (~790 MB at 720p B=8, measured 4.0 ms).  This kernel streams each block
-once: DMA a halo patch, 2*winsize shifted-slice accumulates on the VPU
-(separable blur), solve, write u, v — ~240 MB of traffic.
+HBM (~790 MB fp32 at 720p B=8, measured 4.0 ms).  This kernel streams each
+block exactly once: DMA a halo patch, blur it with two small BANDED-matmul
+contractions on the MXU (shifted-slice taps were measured slower — every
+non-128-aligned lane slice relayouts), solve, write u, v.
 
 Geometry: the input is replicate-padded by (8, 64) so every block's halo
 window starts at the block's own tile-aligned origin (halo 7 <= 8 sublanes /
-64 lanes); all DMA offsets are static.  Double-buffered patch DMA as in
-ops/blockwarp.py.  Border semantics: replicate padding + full-window sums ==
-the border-folded matrix operators (bit-close; see the parity test).
+64 lanes); all DMA offsets are static.  The band matrices ride constant
+BlockSpecs (index 0 every step — the pallas pipeline keeps them resident).
+Double-buffered patch DMA as in ops/blockwarp.py.  Border semantics:
+replicate padding + full-window sums == the border-folded matrix operators.
+
+Precision: the matmuls run bf16xbf16 -> fp32 (Mosaic has no HIGHEST
+lowering); with bf16 normal-equation planes (classical/farneback.py
+SOLVE_DTYPE) the only extra error vs the XLA path is the bf16 rounding of
+the blur taps, and the 2x2 solve's numerator/denominator share it — flow
+error stays ~1e-3 px (the device-EPE bench check guards the 0.1 px bar).
 
 Reference: cv2 FarnebackUpdateFlow_Blur (the reference repo has no classical
 path of its own; BASELINE config 1 makes cv2 the oracle).
@@ -31,15 +39,14 @@ from jax.experimental.pallas import tpu as pltpu
 _PAD_Y, _PAD_X = 8, 64
 
 
-def _kernel(m_ref, uv_ref, patch, sem, *, bh, bw, taps, nby, nbx, nb_total,
-            eps):
+def _kernel(m_ref, bx_ref, by_ref, uv_ref, patch, sem, *, bh, bw, nby, nbx,
+            nb_total, eps):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     n = (b * nby + i) * nbx + j
     slot = jax.lax.rem(n, 2)
     ph, pw = bh + 2 * _PAD_Y, bw + 2 * _PAD_X
-    r = (len(taps) - 1) // 2
 
     def copy_for(bb, ii, jj, sl):
         return pltpu.make_async_copy(
@@ -61,19 +68,28 @@ def _kernel(m_ref, uv_ref, patch, sem, *, bh, bw, taps, nby, nbx, nb_total,
 
     copy_for(b, i, j, slot).wait()
     p = patch[slot]  # [5, ph, pw]
-
-    xb = jnp.zeros((5, ph, bw), jnp.float32)
-    for t, wt in enumerate(taps):
-        xb = xb + wt * p[:, :, _PAD_X - r + t : _PAD_X - r + t + bw]
-    mb = jnp.zeros((5, bh, bw), jnp.float32)
-    for t, wt in enumerate(taps):
-        mb = mb + wt * xb[:, _PAD_Y - r + t : _PAD_Y - r + t + bh, :]
+    if p.dtype != jnp.bfloat16:
+        p = p.astype(jnp.bfloat16)
+    # separable blur as two banded matmuls on the MXU
+    xb = jnp.einsum("crl,lj->crj", p, bx_ref[...],
+                    preferred_element_type=jnp.float32)  # [5, ph, bw]
+    mb = jnp.einsum("os,csj->coj", by_ref[...], xb.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)  # [5, bh, bw]
 
     g00, g01, g11, h1, h2 = mb[0], mb[1], mb[2], mb[3], mb[4]
     idet = 1.0 / (g00 * g11 - g01 * g01 + eps)
     u = (g11 * h1 - g01 * h2) * idet
     v = (g00 * h2 - g01 * h1) * idet
     uv_ref[0] = jnp.stack([u, v]).astype(uv_ref.dtype)
+
+
+def _band(taps: np.ndarray, n_in: int, n_out: int, off: int) -> np.ndarray:
+    """[n_in, n_out] with B[o + off + t, o] = taps[t]."""
+    M = np.zeros((n_in, n_out), np.float32)
+    for t, wt in enumerate(taps):
+        o = np.arange(n_out)
+        M[o + off + t, o] = wt
+    return M
 
 
 @functools.partial(jax.jit, static_argnames=("winsize", "gaussian", "block",
@@ -90,8 +106,8 @@ def blur_solve_2x2(
 
     Matches classical/farneback.py:_solve_flow_planes (replicate-border
     ``winsize`` blur of G00, G01, G11, h1, h2 then the regularized per-pixel
-    2x2 solve).  H % block[0] == 0 and W % block[1] == 0 (pad at call site);
-    winsize//2 must fit the (8, 64) halo.
+    2x2 solve) to bf16-tap precision.  H % block[0] == 0 and W % block[1]
+    == 0 (pad at call site); winsize//2 must fit the (8, 64) halo.
     """
     B, C, H, W = M.shape
     assert C == 5, M.shape
@@ -106,16 +122,23 @@ def blur_solve_2x2(
         k /= k.sum()
     else:
         k = np.full(winsize, 1.0 / winsize)
-    taps = tuple(float(t) for t in k)
 
     Mp = jnp.pad(M, ((0, 0), (0, 0), (_PAD_Y, _PAD_Y), (_PAD_X, _PAD_X)),
                  mode="edge")
     nby, nbx = H // bh, W // bw
     ph, pw = bh + 2 * _PAD_Y, bw + 2 * _PAD_X
+    # out lane j sums patch lanes j + _PAD_X - r + t; out row o sums patch
+    # rows o + _PAD_Y - r + t
+    Bx = jnp.asarray(_band(k, pw, bw, _PAD_X - r), jnp.bfloat16)
+    By = jnp.asarray(_band(k, ph, bh, _PAD_Y - r).T, jnp.bfloat16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B, nby, nbx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((pw, bw), lambda b, i, j: (0, 0)),
+            pl.BlockSpec((bh, ph), lambda b, i, j: (0, 0)),
+        ],
         out_specs=pl.BlockSpec((1, 2, bh, bw), lambda b, i, j: (b, 0, i, j)),
         scratch_shapes=[
             pltpu.VMEM((2, 5, ph, pw), M.dtype),
@@ -123,7 +146,7 @@ def blur_solve_2x2(
         ],
     )
     kernel = functools.partial(
-        _kernel, bh=bh, bw=bw, taps=taps, nby=nby, nbx=nbx,
+        _kernel, bh=bh, bw=bw, nby=nby, nbx=nbx,
         nb_total=B * nby * nbx, eps=1e-3,
     )
     uv = pl.pallas_call(
@@ -131,5 +154,5 @@ def blur_solve_2x2(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, 2, H, W), jnp.float32),
         interpret=interpret,
-    )(Mp)
+    )(Mp, Bx, By)
     return uv[:, 0], uv[:, 1]

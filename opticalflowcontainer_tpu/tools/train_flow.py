@@ -103,6 +103,11 @@ def main(argv=None):
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--resume", action="store_true",
                     help="initialize from the existing --out npz")
+    ap.add_argument("--curriculum", action="store_true",
+                    help="ramp motion magnitude from tiny to full over the "
+                         "first 60%% of steps — helps direct-regression "
+                         "decoders (PWC) escape the predict-zero basin where "
+                         "large-displacement warps destroy the corr signal")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -239,7 +244,14 @@ def main(argv=None):
     t0 = time.time()
     losses = []
     for step in range(1, args.steps + 1):
-        batch = make_affine_batch(rng, args.batch, args.height, args.width)
+        if args.curriculum:
+            f = min(step / max(args.steps * 0.6, 1.0), 1.0)
+            mkw = dict(max_t=2.0 + 14.0 * f, max_angle=1.0 + 7.0 * f,
+                       scales=(1.0 - 0.08 * f, 1.0 + 0.1 * f))
+        else:
+            mkw = {}
+        batch = make_affine_batch(rng, args.batch, args.height, args.width,
+                                  **mkw)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, loss = step_fn(state, batch)
         if step % args.log_every == 0 or step == 1:
