@@ -77,9 +77,11 @@ BLOCK_WARP_REALIGN = "roll"  # patch realign: "roll" (lane rotates) | "matmul"
 BLOCK_WARP_PHASES = 2  # 64-lane-shifted source copies: narrower patches
 BLOCK_WARP_FUSE = True  # fuse the normal-equation epilogue into the kernel
 # Pallas fused blur+2x2-solve (ops/solve2x2.py): measured SLOWER than the
-# XLA banded-matmul solve at 720p B=8 (131 vs 158 fields/s) — its 2x15
-# unaligned shifted-slice taps relayout per tap.  Kept off; the XLA solve's
-# bandwidth is cut by carrying M in bf16 instead (SOLVE_DTYPE).
+# XLA banded-matmul solve at 720p B=8 in both forms — v1 shifted-slice taps
+# (131 vs 158 fields/s: unaligned lane slices relayout per tap) and v2
+# in-kernel banded matmuls (125 vs 160.5: per-block [pw,bw] contractions
+# lose to XLA's two full-width weight-stationary einsums).  Kept off; the
+# XLA solve's bandwidth is cut by carrying M in bf16 instead (SOLVE_DTYPE).
 SOLVE_FUSE = False
 SOLVE_DTYPE = jnp.bfloat16  # M planes + blur intermediate; final math fp32
 BLOCK_WARP_INTERPRET = False  # tests: run the Pallas kernel interpreted on CPU

@@ -10,6 +10,13 @@ block exactly once: DMA a halo patch, blur it with two small BANDED-matmul
 contractions on the MXU (shifted-slice taps were measured slower — every
 non-128-aligned lane slice relayouts), solve, write u, v.
 
+Measured VERDICT (v5e via axon, 2026-08-17): still SLOWER than the XLA form
+end-to-end — 125 vs 160.5 fields/s at 720p B=8 (v1 shifted-slice taps: 131).
+The per-block [pw, bw] band contractions can't match XLA's two full-width
+weight-stationary einsums, and the bf16 SOLVE_DTYPE planes already halved
+the XLA path's HBM traffic.  Kept for reference behind
+classical/farneback.py SOLVE_FUSE = False.
+
 Geometry: the input is replicate-padded by (8, 64) so every block's halo
 window starts at the block's own tile-aligned origin (halo 7 <= 8 sublanes /
 64 lanes); all DMA offsets are static.  The band matrices ride constant
