@@ -220,6 +220,19 @@ def _border_weight(H: int, W: int, ramp: np.ndarray) -> np.ndarray:
 
 # --------------------------------------------- plane-major TPU fast path
 
+# Precision of the poly-expansion matmuls on TPU.  Stage-profiled at 720p
+# B=8 (2026-08-17): the poly/prep stage was 17 ms of the 50 ms batch — 44%,
+# bigger than the warp stage — almost all of it the 6-pass `float32` MXU
+# emulation.  Device-measured (720p B=8, fields/s / rotation-stress EPE vs
+# cv2, bar 0.1 px): "default" (1-pass bf16) 211 / 0.0545; "high" (3-pass)
+# 192 / 0.0533; old float32 staged pipeline 160 / 0.065.  The block-warp
+# slack, not poly precision, dominates the error — ship "default".
+POLY_PRECISION = "default"
+# Frame-0 expansion planes dtype: bf16 halves the fused update kernel's R0
+# stream (read once per iteration, 3x per level); device EPE unchanged
+# (0.0005 px translation — f32 R0 measured 0.0010, noise-level difference).
+R0_DTYPE = jnp.bfloat16
+
 def _replicate_rows(M: np.ndarray, rows_core: int, pad: int) -> np.ndarray:
     """Extend an output-side operator matrix to emit replicate-padded (and
     rounded-up) rows: row i of the result equals row clip(i - pad, 0, H-1) of
@@ -277,6 +290,82 @@ def _poly_planes(img: jax.Array, n: int, sigma: float,
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=None)
+def _poly_direct_matrices(H: int, W: int, lh: int, lw: int, smooth_sz: int,
+                          prep_sigma: float, n: int, sigma: float,
+                          pad_y: int, pad_x: int,
+                          rows_out: int, cols_out: int):
+    """Operator matrices that turn the FULL-RES image straight into the five
+    plane-major expansion planes in one vertical + one horizontal matmul per
+    plane, with the pyramid stage (reflect101 blur + bilinear resize to
+    (lh, lw)) and the plane combination (ig* linear forms) folded in:
+
+        plane = (V_k @ Cv) @ img @ (Ch^T @ H_k^T)^T
+
+    Exact algebra — vertical operators commute with horizontal ones, and
+    bx/axx/qxy are linear in the s-planes, so folding changes only the f32
+    rounding order.  ayy needs two vertical inputs (tg, txxg), so it is
+    emitted as (ig03*tg + ig33*txxg) @ Hg — the scalars are returned for the
+    runtime combine.  Replaces the old prep(2 matmuls) + 6 s-plane matmuls +
+    full-res combine pass: 8 matmuls (3 V + 5 H) and zero extra passes.
+    """
+    g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_inverse(n, float(sigma))
+    kp = gaussian_kernel_1d(smooth_sz, prep_sigma)
+    kpb = np.asarray(kp, np.float64).tobytes()
+    Cv = (_interp_matrix(lh, H, False) @ _border_conv_matrix(H, kpb, "reflect101"))
+    Ch = (_interp_matrix(lw, W, False) @ _border_conv_matrix(W, kpb, "reflect101"))
+
+    def vmat(k):
+        Vk = _replicate_rows(
+            _border_conv_matrix(lh, np.asarray(k, np.float64).tobytes(),
+                                "replicate"),
+            rows_out, pad_y)
+        return np.ascontiguousarray((Vk @ Cv).astype(np.float32))
+
+    def hmat(M):
+        # stored [cols_out_tot, W]: consumed as einsum("...hw,pw->...hp")
+        Hk = _replicate_rows(
+            _border_conv_matrix(lw, np.asarray(M, np.float64).tobytes(),
+                                "replicate"),
+            cols_out, pad_x)
+        return np.ascontiguousarray((Hk @ Ch).astype(np.float32))
+
+    Hg_, Hxg_, Hxxg_ = hmat(g), hmat(xg), hmat(xxg)
+    return (
+        (vmat(g), vmat(xg), vmat(xxg)),
+        (
+            np.float32(ig11) * Hxg_,                       # bx  <- tg
+            np.float32(ig11) * Hg_,                        # by  <- txg
+            np.float32(ig03) * Hg_ + np.float32(ig33) * Hxxg_,  # axx <- tg
+            Hg_,                                           # ayy <- ig03*tg+ig33*txxg
+            np.float32(ig55) * Hxg_,                       # qxy <- txg
+        ),
+        (float(ig03), float(ig33)),
+    )
+
+
+def _poly_planes_direct(img: jax.Array, mats, out_dtype=None) -> jax.Array:
+    """[..., H, W] full-res image -> plane-major expansion planes
+    [..., 5, rows_out+2*pad_y, cols_out+2*pad_x] at the pyramid level baked
+    into ``mats`` (see :func:`_poly_direct_matrices`).  All matmuls run at
+    ``POLY_PRECISION`` (fp32 accumulation either way)."""
+    (Vg, Vxg, Vxxg), (Hbx, Hby, Haxx, Hayy, Hqxy), (ig03, ig33) = mats
+    mm = functools.partial(jnp.einsum, precision=POLY_PRECISION,
+                           preferred_element_type=jnp.float32)
+    Vg, Vxg, Vxxg = jnp.asarray(Vg), jnp.asarray(Vxg), jnp.asarray(Vxxg)
+    tg = mm("oh,...hw->...ow", Vg, img)
+    txg = mm("oh,...hw->...ow", Vxg, img)
+    txxg = mm("oh,...hw->...ow", Vxxg, img)
+    t_ayy = ig03 * tg + ig33 * txxg
+    bx = mm("...hw,pw->...hp", tg, jnp.asarray(Hbx))
+    by = mm("...hw,pw->...hp", txg, jnp.asarray(Hby))
+    axx = mm("...hw,pw->...hp", tg, jnp.asarray(Haxx))
+    ayy = mm("...hw,pw->...hp", t_ayy, jnp.asarray(Hayy))
+    qxy = mm("...hw,pw->...hp", txg, jnp.asarray(Hqxy))
+    R = jnp.stack([bx, by, axx, ayy, qxy], axis=-3)
+    return R.astype(out_dtype) if out_dtype is not None else R
 
 
 def _update_matrices_planes(R0p: jax.Array, R1pad: jax.Array,
@@ -568,26 +657,24 @@ def calc_optical_flow_farneback(
             else:
                 u = resize_bilinear(u, (lh, lw)) / pyr_scale
                 v = resize_bilinear(v, (lh, lw)) / pyr_scale
-            Cv, Ch = _prep_matrices(H, W, lh, lw, smooth_sz, sigma)
-            Cv = jnp.asarray(Cv)
-            Ch = jnp.asarray(Ch)
-
-            def prep(img):
-                t = jnp.einsum("oh,...hw->...ow", Cv, img,
-                               preferred_element_type=jnp.float32)
-                return jnp.einsum("...hw,pw->...hp", t, Ch,
-                                  preferred_element_type=jnp.float32)
-
-            # R0 replicate-extended to the warp block grid so the fused
-            # kernel can read it block-aligned (values past (lh, lw) are
-            # never used)
-            R0 = _poly_planes(prep(prev_b), poly_n, poly_sigma, 0, 0,
-                              _round_up(lh, bh), _round_up(lw, bwd))
+            # Pyramid blur+resize AND the plane combination are folded into
+            # the poly-expansion matrices (see _poly_direct_matrices): each
+            # frame goes full-res image -> 5 planes in 8 matmuls, R0
+            # replicate-extended to the warp block grid (values past
+            # (lh, lw) are never used), R1 emitted pre-padded + pre-cast for
+            # the warp kernel's patch DMA.
             pad_y, pad_x = BLOCK_WARP_PAD
-            R1p = _poly_planes(prep(next_b), poly_n, poly_sigma,
-                               pad_y, pad_x, _round_up(lh, bh),
-                               _round_up(lw, bwd),
-                               out_dtype=BLOCK_WARP_DTYPE)
+            mats0 = _poly_direct_matrices(
+                H, W, lh, lw, smooth_sz, float(sigma), poly_n,
+                float(poly_sigma), 0, 0, _round_up(lh, bh),
+                _round_up(lw, bwd))
+            mats1 = _poly_direct_matrices(
+                H, W, lh, lw, smooth_sz, float(sigma), poly_n,
+                float(poly_sigma), pad_y, pad_x, _round_up(lh, bh),
+                _round_up(lw, bwd))
+            R0 = _poly_planes_direct(prev_b, mats0, out_dtype=R0_DTYPE)
+            R1p = _poly_planes_direct(next_b, mats1,
+                                      out_dtype=BLOCK_WARP_DTYPE)
             for _ in range(iterations):
                 M = _update_matrices_planes(R0, R1p, u, v, (lh, lw))
                 u, v = _solve_flow_planes(M, winsize, use_gauss)

@@ -185,3 +185,31 @@ def test_farneback_block_path_rotation_stress(rng, monkeypatch):
     assert kernel_err.mean() < 0.05, kernel_err.mean()
     epe = np.linalg.norm(got - ref, axis=-1)
     assert epe.mean() < 0.1, epe.mean()
+
+
+def test_poly_planes_direct_matches_prep_then_poly(rng):
+    """The fused prep+poly+combine matrices must reproduce the staged
+    pipeline (prep matmuls -> _poly_planes) — exact algebra, only f32
+    rounding order differs (POLY_PRECISION is TPU-only; CPU runs full f32)."""
+    import opticalflowcontainer_tpu.classical.farneback as fb
+
+    B, H, W = 2, 90, 120          # full-res
+    lh, lw = 45, 60               # level (pyr_scale 0.5)
+    smooth_sz, sigma = 5, 0.5
+    pad_y, pad_x = 8, 16
+    rows_out, cols_out = 48, 64   # block-rounded level dims
+    img = jnp.asarray(rng.uniform(0, 255, (B, H, W)).astype(np.float32))
+
+    Cv, Ch = fb._prep_matrices(H, W, lh, lw, smooth_sz, sigma)
+    t = jnp.einsum("oh,...hw->...ow", jnp.asarray(Cv), img)
+    prepped = jnp.einsum("...hw,pw->...hp", t, jnp.asarray(Ch))
+    want = np.asarray(fb._poly_planes(prepped, 5, 1.2, pad_y, pad_x,
+                                      rows_out, cols_out))
+
+    mats = fb._poly_direct_matrices(H, W, lh, lw, smooth_sz, float(sigma),
+                                    5, 1.2, pad_y, pad_x, rows_out, cols_out)
+    got = np.asarray(fb._poly_planes_direct(img, mats))
+    assert got.shape == want.shape == (B, 5, rows_out + 2 * pad_y,
+                                       cols_out + 2 * pad_x)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale)
