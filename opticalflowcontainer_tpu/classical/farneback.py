@@ -65,11 +65,16 @@ BLOCK_WARP = True
 #   (16,128) s1 1.52 px (FAILS the 0.1 bar);  (16,128) s2 0.056 / 12.2;
 #   (16,128) s3 0.038 / 15.7;  (24,128) s2 0.059 / 10.7;
 #   (32,128) s2 0.065 / 10.3;  (32,256) s2 3.09 (FAILS), s3 0.30 (FAILS).
+# Full-pipeline sweep after the direct-poly rework (fields/s / rot EPE):
+#   (32,128) s2 216 / 0.058;  (48,128) s2 226 / 0.078;  (48,128) s3 164 /
+#   0.030 (same 64x256 patch, but 8^2 select taps are VPU-bound);
+#   (64,128) s2 224 / 0.133 (FAILS).
 # Taller blocks amortize the 8-row sublane DMA quantization (y-deviation from
-# rotation stays small); wider blocks blow the x-deviation budget.  Shipped:
-# (32,128) slack 2 — fastest config under the bar; pure-translation fields
-# measure 0.0008 px in every config.
-BLOCK_WARP_BLOCK = (32, 128)
+# rotation stays small) and (48,128) divides 720 exactly (no row padding);
+# wider blocks blow the x-deviation budget.  Shipped: (48,128) slack 2 —
+# fastest config under the bar; pure-translation fields measure <=0.0008 px
+# in every config.
+BLOCK_WARP_BLOCK = (48, 128)
 BLOCK_WARP_SLACK = 2
 BLOCK_WARP_PAD = (40, 192)  # (pad_y, pad_x): room for the tile-aligned patch + displacement range
 BLOCK_WARP_DTYPE = jnp.bfloat16  # patch DMA dtype; accumulation stays fp32
