@@ -80,6 +80,12 @@ BLOCK_WARP_PAD = (40, 192)  # (pad_y, pad_x): room for the tile-aligned patch + 
 BLOCK_WARP_DTYPE = jnp.bfloat16  # patch DMA dtype; accumulation stays fp32
 BLOCK_WARP_REALIGN = "roll"  # patch realign: "roll" (lane rotates) | "matmul"
 BLOCK_WARP_PHASES = 2  # 64-lane-shifted source copies: narrower patches
+# Tap selection form inside the warp kernel ("slice" | "roll"); measured
+# 720p B=8 full pipeline: slice 37.3 ms, roll 23.0 ms (update stage 10.5 vs
+# 8.0).  "roll" pays one static lane rotate per column tap t and then every
+# bilinear FMA slices at lane offset 0 — the 2D "slice" form's taps at lane
+# offsets 1..2*slack+1 each relayout (same lesson as solve2x2).
+BLOCK_WARP_SELECT = "roll"
 BLOCK_WARP_FUSE = True  # fuse the normal-equation epilogue into the kernel
 # Pallas fused blur+2x2-solve (ops/solve2x2.py): measured SLOWER than the
 # XLA banded-matmul solve at 720p B=8 in both forms — v1 shifted-slice taps
@@ -399,6 +405,7 @@ def _update_matrices_planes(R0p: jax.Array, R1pad: jax.Array,
             pad=BLOCK_WARP_PAD, compute_dtype=BLOCK_WARP_DTYPE,
             interpret=BLOCK_WARP_INTERPRET, realign=BLOCK_WARP_REALIGN,
             phases=BLOCK_WARP_PHASES, out_dtype=SOLVE_DTYPE,
+            select=BLOCK_WARP_SELECT,
         )
         return M[..., :H, :W]
 
@@ -408,7 +415,7 @@ def _update_matrices_planes(R0p: jax.Array, R1pad: jax.Array,
         block=BLOCK_WARP_BLOCK, slack=BLOCK_WARP_SLACK, pad=BLOCK_WARP_PAD,
         src_padded=True, compute_dtype=BLOCK_WARP_DTYPE,
         interpret=BLOCK_WARP_INTERPRET, realign=BLOCK_WARP_REALIGN,
-        phases=BLOCK_WARP_PHASES,
+        phases=BLOCK_WARP_PHASES, select=BLOCK_WARP_SELECT,
     )[..., :H, :W]
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)

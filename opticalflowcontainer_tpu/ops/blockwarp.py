@@ -117,7 +117,7 @@ def _roll_lanes(f, shift, use_pltpu):
 
 def _warp_block_core(x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem,
                      *, bh, bw, ph, pw, slack, pad_y, pad_x, nby, nbx,
-                     nb_total, realign, interpret, phases):
+                     nb_total, realign, interpret, phases, select="slice"):
     """Shared kernel body: patch DMA pipeline + realign + bilinear selection.
     Returns (acc, u, v, xf, yf, il, jl, i, j) so epilogue variants can fuse
     further per-pixel math without a second pass over HBM."""
@@ -255,10 +255,24 @@ def _warp_block_core(x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem,
             p = (permute_x(permute_y(p0)) + permute_x(permute_y(p1))
                  + permute_x(permute_y(p2)))
     acc = jnp.zeros((C, bh, bw), jnp.float32)
-    for a in range(nsel):
+    if select == "roll":
+        # Lane-aligned selection: one static lane rotate per column tap t,
+        # then every FMA slices at lane offset 0 (only sublane offsets
+        # remain).  The 2D form below slices at lane offsets 1..2*slack+1,
+        # and every non-128-aligned lane slice relayouts (the solve2x2
+        # lesson); here the rotate is paid once per t instead of once per
+        # (a, t).
         for t in range(nsel):
-            w = (wys[a] * wxs[t])[None]
-            acc = acc + w * p[:, a : a + bh, t : t + bw].astype(jnp.float32)
+            pt = p if t == 0 else _roll_lanes(p, t, use_pltpu=not interpret)
+            s = jnp.zeros((C, bh, bw), jnp.float32)
+            for a in range(nsel):
+                s = s + wys[a][None] * pt[:, a : a + bh, :bw].astype(jnp.float32)
+            acc = acc + wxs[t][None] * s
+    else:
+        for a in range(nsel):
+            for t in range(nsel):
+                w = (wys[a] * wxs[t])[None]
+                acc = acc + w * p[:, a : a + bh, t : t + bw].astype(jnp.float32)
     return acc, u, v, xf, yf, il, jl, i, j
 
 
@@ -316,7 +330,8 @@ def _kernel_farneback_update(x0_ref, y0_ref, src_ref, u_ref, v_ref, r0_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("block", "slack", "pad", "pad_mode", "src_padded",
-                     "interpret", "compute_dtype", "realign", "phases"),
+                     "interpret", "compute_dtype", "realign", "phases",
+                     "select"),
 )
 def block_warp_bilinear(
     src: jax.Array,
@@ -332,6 +347,7 @@ def block_warp_bilinear(
     compute_dtype=None,
     realign: str = "roll",
     phases: int = 1,
+    select: str = "slice",
 ) -> jax.Array:
     """Backward-warp ``src`` by (u, v) with block-patch bilinear sampling.
 
@@ -393,7 +409,7 @@ def block_warp_bilinear(
         _kernel, bh=bh, bw=bw, ph=ph, pw=pw,
         slack=slack, pad_y=pad_y, pad_x=pad_x,
         nby=nby, nbx=nbx, nb_total=B * nby * nbx,
-        realign=realign, interpret=interpret, phases=phases,
+        realign=realign, interpret=interpret, phases=phases, select=select,
     )
     return pl.pallas_call(
         kernel,
@@ -406,7 +422,8 @@ def block_warp_bilinear(
 @functools.partial(
     jax.jit,
     static_argnames=("img_hw", "ramp", "block", "slack", "pad", "interpret",
-                     "compute_dtype", "realign", "phases", "out_dtype"),
+                     "compute_dtype", "realign", "phases", "out_dtype",
+                     "select"),
 )
 def block_warp_farneback_update(
     r0: jax.Array,
@@ -424,6 +441,7 @@ def block_warp_farneback_update(
     realign: str = "roll",
     phases: int = 2,
     out_dtype=jnp.float32,
+    select: str = "slice",
 ) -> jax.Array:
     """Fused Farneback iteration update: block-patch warp of frame-1's
     expansion planes + per-pixel normal-equation accumulation in ONE kernel
@@ -476,7 +494,7 @@ def block_warp_farneback_update(
         bh=bh, bw=bw, ph=ph, pw=pw,
         slack=slack, pad_y=pad_y, pad_x=pad_x,
         nby=nby, nbx=nbx, nb_total=B * nby * nbx,
-        realign=realign, interpret=interpret, phases=phases,
+        realign=realign, interpret=interpret, phases=phases, select=select,
     )
     return pl.pallas_call(
         kernel,

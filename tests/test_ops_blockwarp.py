@@ -44,9 +44,12 @@ def _inb(u, v, H, W):
     return (x0 >= 0) & (x0 < W - 1) & (y0 >= 0) & (y0 < H - 1)
 
 
-@pytest.mark.parametrize("realign,phases", [("matmul", 1), ("roll", 1), ("roll", 2)])
+@pytest.mark.parametrize("realign,phases,select", [
+    ("matmul", 1, "slice"), ("roll", 1, "slice"), ("roll", 2, "slice"),
+    ("roll", 2, "roll"),
+])
 @pytest.mark.parametrize("flow", ["const", "big", "smooth"])
-def test_kernel_matches_reference_and_exact(flow, realign, phases, rng):
+def test_kernel_matches_reference_and_exact(flow, realign, phases, select, rng):
     B, C, H, W = 2, 5, 48, 256
     src = rng.normal(size=(B, C, H, W)).astype(np.float32)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
@@ -66,7 +69,7 @@ def test_kernel_matches_reference_and_exact(flow, realign, phases, rng):
         jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), phases=phases))
     ker = np.asarray(block_warp_bilinear(
         jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), interpret=True,
-        realign=realign, phases=phases))
+        realign=realign, phases=phases, select=select))
     np.testing.assert_allclose(ker, ref, atol=1e-5)
 
     exact = _exact_bilinear(src, u, v)
