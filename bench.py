@@ -54,8 +54,12 @@ def main(argv=None):
 
     from opticalflowcontainer_tpu.classical import farneback_batched
 
+    # reps amortize the axon tunnel's per-execution scalar-fetch RTT
+    # (~30-90 ms): at reps=6 the RTT inflated per-field time ~25% (recorded
+    # 349 fields/s when a 48-rep chain measures 434); 24 in-jit reps push the
+    # inflation under 3%.
     B = args.batch or (2 if args.quick else 8)
-    reps = args.reps or (2 if args.quick else 6)
+    reps = args.reps or (4 if args.quick else 24)
     H, W = 720, 1280
 
     def bench_fn(a, b):
@@ -82,9 +86,12 @@ def main(argv=None):
         print(f"# backend={jax.default_backend()} B={B} reps={reps} "
               f"compile+first={compile_s:.1f}s checksum={s0:.0f}", file=sys.stderr)
 
-    t0 = time.time()
-    _ = float(fn(a, b))
-    elapsed = time.time() - t0
+    # best-of-3 timed executions: the tunnel RTT has multi-second spikes;
+    # min() measures the device, not the network
+    elapsed = min(
+        (lambda t0: (float(fn(a, b)), time.time() - t0)[1])(time.time())
+        for _ in range(1 if args.quick else 3)
+    )
     per_field = elapsed / (reps * B)
     fields_per_sec = 1.0 / per_field
 
