@@ -58,8 +58,15 @@ def main(argv=None):
     # (~30-90 ms): at reps=6 the RTT inflated per-field time ~25% (recorded
     # 349 fields/s when a 48-rep chain measures 434); 24 in-jit reps push the
     # inflation under 3%.
-    B = args.batch or (2 if args.quick else 8)
-    reps = args.reps or (4 if args.quick else 24)
+    # Batch sweep (2026-08-17, ms/field): B=1 2.07, B=2 2.08, B=3 2.07,
+    # B=4 2.09, B=6 2.34, B=8 2.40, B=12 2.43, B=16 2.47 — per-field cost is
+    # FLAT for B<=4 then degrades (the warp patch DMA + R1 source-size
+    # superlinearity; same effect that made B=1 beat B=8 on the r1 gather
+    # path).  B=2 is the shipped operating point.
+    # At B=2 the per-execution RTT needs a longer chain to vanish: reps=128
+    # puts ~0.55 s of device work behind one sync (<2% bias at 90 ms RTT).
+    B = args.batch or 2
+    reps = args.reps or (4 if args.quick else 128)
     H, W = 720, 1280
 
     def bench_fn(a, b):
