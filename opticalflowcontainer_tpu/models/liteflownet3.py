@@ -136,7 +136,10 @@ class LiteFlowNet3(nn.Module):
     of 32 -> flow [H/4, W/4, 2] x20 (level-3 native resolution)."""
 
     @nn.compact
-    def __call__(self, img1, img2):
+    def __call__(self, img1, img2, return_pyramid: bool = False):
+        """``return_pyramid=True`` additionally returns the per-level raw
+        flows {level: [H/2^l, W/2^l, 2]} in the net's /20 units (training
+        supervision — the reference is inference-only and has no analogue)."""
         img1 = img1 - img1.mean(axis=(0, 1), keepdims=True)
         img2 = img2 - img2.mean(axis=(0, 1), keepdims=True)
         features = Features(name="features")
@@ -150,6 +153,7 @@ class LiteFlowNet3(nn.Module):
             im2.append(resize_bilinear(im2[-1], size, channel_last=True))
         flow = None
         conf = None
+        pyramid = {}
         for lvl in (6, 5, 4, 3):
             i = lvl - 1
             flow, conf = Matching(lvl, name=f"matching{lvl}")(
@@ -161,12 +165,28 @@ class LiteFlowNet3(nn.Module):
             )
             if rconf is not None:
                 conf = rconf
+            pyramid[lvl] = flow
         # flow leaves the net in fp32 regardless of serving dtype
-        return flow.astype(jnp.float32) * 20.0
+        out = flow.astype(jnp.float32) * 20.0
+        if return_pyramid:
+            return out, pyramid
+        return out
 
 
 def _pad_to(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
+
+
+def load_liteflownet3_synth():
+    """Packaged LFN3 weights if present (tools/train_flow.py --model
+    liteflownet3 — TPU-trained on synthetic affine motion), else None.  The
+    reference's real-weights path (its packaged network-sintel.pytorch,
+    reference lfn3_node.py:54-56) is the parity-proven converter
+    ``convert.convert_liteflownet3``; this synthetic checkpoint exists so the
+    LFN3 family has a runnable learned path in the offline sandbox too."""
+    from .raft import _load_weights_npz
+
+    return _load_weights_npz("liteflownet3_synth.npz", LiteFlowNet3())
 
 
 def estimate(model: "LiteFlowNet3", params, img1: jax.Array, img2: jax.Array) -> jax.Array:

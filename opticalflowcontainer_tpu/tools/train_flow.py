@@ -83,10 +83,34 @@ WEIGHTS_DIR = os.path.join(
 )
 
 
+def _kaiming_rescale(tree, gain=1.55):
+    """Init-time conv-kernel gain for norm-free leaky-conv trunks (PWC, LFN3).
+
+    flax lecun_normal decays activation std ~0.7x per leaky conv and PWC's
+    18-conv norm-free extractor collapses to ~1e-4 std by level 6 (measured),
+    leaving training in the predict-zero basin.  The theoretical
+    leaky-kaiming gain (1.407) still decayed ~0.89x/conv empirically; 1.55
+    measures flat (level stds 0.33-0.62).  Init-time only — checkpoint compat
+    untouched."""
+    import jax
+
+    def walk(d):
+        for v in d.values():
+            if isinstance(v, dict):
+                walk(v)
+        if "kernel" in d:
+            d["kernel"] = d["kernel"] * gain
+
+    tree = jax.tree_util.tree_map(lambda x: x, tree)  # copy
+    walk(tree["params"])
+    return tree
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="raft_small",
-                    choices=("raft_small", "raft_large", "neuflow_lite", "pwcnet"))
+                    choices=("raft_small", "raft_large", "neuflow_lite",
+                             "pwcnet", "liteflownet3"))
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--height", type=int, default=96)
@@ -158,26 +182,6 @@ def main(argv=None):
         from ..core.resize import resize_area
 
         model = PWCNet()
-
-        def _kaiming_rescale(tree, gain=1.55):
-            # flax lecun_normal decays activation std ~0.7x per leaky conv
-            # and PWC's 18-conv norm-free extractor collapses to ~1e-4 std by
-            # level 6 (measured), leaving training in the predict-zero basin.
-            # The theoretical leaky-kaiming gain (1.407) still decayed
-            # ~0.89x/conv empirically; 1.55 measures flat (level stds
-            # 0.33-0.62).  Init-time only — checkpoint compat untouched.
-            def walk(d):
-                for v in d.values():
-                    if isinstance(v, dict):
-                        walk(v)
-                if "kernel" in d:
-                    d["kernel"] = d["kernel"] * gain
-            import jax.tree_util  # noqa: F401
-
-            tree = jax.tree_util.tree_map(lambda x: x, tree)  # copy
-            walk(tree["params"])
-            return tree
-
         init = lambda key: _kaiming_rescale(model.init(key, i0, i0))
         # original PWC multi-scale supervision: per-level L1 against the GT
         # downsampled to each level's resolution, in the net's /20 units
@@ -195,6 +199,37 @@ def main(argv=None):
                             gt.transpose(2, 0, 1), (Hl, Wl)
                         ).transpose(1, 2, 0) * (1.0 / 20.0)
                         total = total + lvl_w[lvl] * jnp.abs(fl - gt_l).mean()
+                    return total
+
+                return jnp.mean(jax.vmap(one)(b["img1"], b["img2"], b["flow"]))
+
+            loss, grads = jax.value_and_grad(loss_fn)(s.params)
+            updates, opt_state = tx.update(grads, s.opt_state, s.params)
+            params = optax.apply_updates(s.params, updates)
+            return TrainState(params, opt_state, s.step + 1), loss
+    elif name == "liteflownet3":
+        from ..models import LiteFlowNet3
+        from ..models.liteflownet3 import load_liteflownet3_synth as loader
+        from ..core.resize import resize_area
+
+        model = LiteFlowNet3()
+        init = lambda key: _kaiming_rescale(model.init(key, i0, i0))
+        # same multi-scale supervision shape as PWC (per-level L1 on the
+        # net's /20-unit flows, coarse levels weighted up); LFN3's levels
+        # are [6..3] only
+        lvl_w3 = {6: 0.32, 5: 0.08, 4: 0.02, 3: 0.01}
+
+        def step_body(s, b):
+            def loss_fn(params):
+                def one(i1, i2, gt):
+                    _, pyr = model.apply(params, i1, i2, return_pyramid=True)
+                    total = 0.0
+                    for lvl, fl in pyr.items():
+                        Hl, Wl = fl.shape[0], fl.shape[1]
+                        gt_l = resize_area(
+                            gt.transpose(2, 0, 1), (Hl, Wl)
+                        ).transpose(1, 2, 0) * (1.0 / 20.0)
+                        total = total + lvl_w3[lvl] * jnp.abs(fl - gt_l).mean()
                     return total
 
                 return jnp.mean(jax.vmap(one)(b["img1"], b["img2"], b["flow"]))
