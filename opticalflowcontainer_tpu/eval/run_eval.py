@@ -29,7 +29,8 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
             return np.asarray(fn(g1, g2))
 
         return run
-    if name in ("raft", "raft_large", "pwcnet", "neuflow"):
+    if name in ("raft", "raft_large", "pwcnet", "neuflow",
+                "liteflownet", "liteflownet3"):
         import jax
 
         if name in ("raft", "raft_large"):
@@ -93,6 +94,54 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
                     else:
                         run.params = model.init(jax.random.PRNGKey(0), img1, img2)
                 return np.asarray(pwc_estimate(model, run.params, img1, img2))
+
+            return run
+        if name == "liteflownet3":
+            from ..models import LiteFlowNet3
+            from ..models.convert import convert_liteflownet3
+            from ..models.liteflownet3 import estimate as lfn3_estimate
+            from ..models.liteflownet3 import load_liteflownet3_synth
+
+            loaded = load_liteflownet3_synth()
+            model = loaded[0] if loaded else LiteFlowNet3()
+
+            def run(img1, img2):
+                if not hasattr(run, "params"):
+                    if ckpt:
+                        import torch
+
+                        sd = torch.load(ckpt, map_location="cpu")
+                        run.params = convert_liteflownet3(
+                            {k: v.numpy() for k, v in sd.items()}
+                        )
+                    elif loaded:
+                        run.params = loaded[1]
+                    else:
+                        run.params = model.init(
+                            jax.random.PRNGKey(0), img1, img2)
+                return np.asarray(lfn3_estimate(model, run.params, img1, img2))
+
+            return run
+        if name == "liteflownet":
+            from ..models import LiteFlowNet
+            from ..models.convert import convert_liteflownet
+            from ..models.liteflownet import estimate as lfn_estimate
+
+            model = LiteFlowNet()
+
+            def run(img1, img2):
+                if not hasattr(run, "params"):
+                    if ckpt:
+                        import torch
+
+                        sd = torch.load(ckpt, map_location="cpu")
+                        run.params = convert_liteflownet(
+                            {k: v.numpy() for k, v in sd.items()}
+                        )
+                    else:
+                        run.params = model.init(
+                            jax.random.PRNGKey(0), img1, img2)
+                return np.asarray(lfn_estimate(model, run.params, img1, img2))
 
             return run
     raise SystemExit(f"unknown method {name}")
