@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.filters import _sepconv, gaussian_kernel_1d, _on_tpu
+from ..core.banded import as_operator
 from ..core.resize import resize_bilinear, _interp_matrix
 
 OPTFLOW_USE_INITIAL_FLOW = 4
@@ -183,13 +184,13 @@ def poly_exp(img: jax.Array, n: int, sigma: float) -> jax.Array:
     if _on_tpu():
         H, W = img.shape[-2], img.shape[-1]
         Vg, Vxg, Vxxg = (
-            jnp.asarray(
+            as_operator(
                 _border_conv_matrix(H, np.asarray(k, np.float64).tobytes(), "replicate")
             )
             for k in (g, xg, xxg)
         )
         Hg, Hxg, Hxxg = (
-            jnp.asarray(
+            as_operator(
                 _border_conv_matrix(W, np.asarray(k, np.float64).tobytes(), "replicate")
             )
             for k in (g, xg, xxg)
@@ -215,8 +216,8 @@ def poly_exp(img: jax.Array, n: int, sigma: float) -> jax.Array:
     return _combine_poly(s0, sx, sy, sxx, syy, sxy, ig11, ig03, ig33, ig55)
 
 
-def _border_weight(H: int, W: int, ramp: np.ndarray) -> np.ndarray:
-    """Per-pixel down-weight: product of x and y edge ramps (1 in interior)."""
+def _border_weight_vecs(H: int, W: int, ramp: np.ndarray):
+    """Separable factors of the per-pixel edge down-weight (1 in interior)."""
     B = len(ramp)
     wx = np.ones(W, np.float32)
     wy = np.ones(H, np.float32)
@@ -226,7 +227,20 @@ def _border_weight(H: int, W: int, ramp: np.ndarray) -> np.ndarray:
     for i in range(min(B, H)):
         wy[i] *= ramp[i]
         wy[H - 1 - i] *= ramp[i]
+    return wy, wx
+
+
+def _border_weight(H: int, W: int, ramp: np.ndarray) -> np.ndarray:
+    """Per-pixel down-weight: product of x and y edge ramps (1 in interior)."""
+    wy, wx = _border_weight_vecs(H, W, ramp)
     return wy[:, None] * wx[None, :]
+
+
+def _border_weight_dev(H: int, W: int, ramp: np.ndarray) -> jax.Array:
+    """On-device outer-product form: embeds two length-H/W vectors instead of
+    an [H, W] literal (2 MB+ per level at 1080p; see core/banded.py)."""
+    wy, wx = _border_weight_vecs(H, W, ramp)
+    return jnp.asarray(wy)[:, None] * jnp.asarray(wx)[None, :]
 
 
 # --------------------------------------------- plane-major TPU fast path
@@ -266,13 +280,13 @@ def _poly_planes(img: jax.Array, n: int, sigma: float,
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_inverse(n, float(sigma))
     H, W = img.shape[-2], img.shape[-1]
     Vs = [
-        jnp.asarray(_replicate_rows(
+        as_operator(_replicate_rows(
             _border_conv_matrix(H, np.asarray(k, np.float64).tobytes(), "replicate"),
             rows_out, pad_y))
         for k in (g, xg, xxg)
     ]
     Hs = [
-        jnp.asarray(_replicate_rows(
+        as_operator(_replicate_rows(
             _border_conv_matrix(W, np.asarray(k, np.float64).tobytes(), "replicate"),
             cols_out, pad_x))
         for k in (g, xg, xxg)
@@ -365,16 +379,16 @@ def _poly_planes_direct(img: jax.Array, mats, out_dtype=None) -> jax.Array:
     (Vg, Vxg, Vxxg), (Hbx, Hby, Haxx, Hayy, Hqxy), (ig03, ig33) = mats
     mm = functools.partial(jnp.einsum, precision=POLY_PRECISION,
                            preferred_element_type=jnp.float32)
-    Vg, Vxg, Vxxg = jnp.asarray(Vg), jnp.asarray(Vxg), jnp.asarray(Vxxg)
+    Vg, Vxg, Vxxg = as_operator(Vg), as_operator(Vxg), as_operator(Vxxg)
     tg = mm("oh,...hw->...ow", Vg, img)
     txg = mm("oh,...hw->...ow", Vxg, img)
     txxg = mm("oh,...hw->...ow", Vxxg, img)
     t_ayy = ig03 * tg + ig33 * txxg
-    bx = mm("...hw,pw->...hp", tg, jnp.asarray(Hbx))
-    by = mm("...hw,pw->...hp", txg, jnp.asarray(Hby))
-    axx = mm("...hw,pw->...hp", tg, jnp.asarray(Haxx))
-    ayy = mm("...hw,pw->...hp", t_ayy, jnp.asarray(Hayy))
-    qxy = mm("...hw,pw->...hp", txg, jnp.asarray(Hqxy))
+    bx = mm("...hw,pw->...hp", tg, as_operator(Hbx))
+    by = mm("...hw,pw->...hp", txg, as_operator(Hby))
+    axx = mm("...hw,pw->...hp", tg, as_operator(Haxx))
+    ayy = mm("...hw,pw->...hp", t_ayy, as_operator(Hayy))
+    qxy = mm("...hw,pw->...hp", txg, as_operator(Hqxy))
     R = jnp.stack([bx, by, axx, ayy, qxy], axis=-3)
     return R.astype(out_dtype) if out_dtype is not None else R
 
@@ -434,7 +448,7 @@ def _update_matrices_planes(R0p: jax.Array, R1pad: jax.Array,
     dbx = dbx + axx * u + axy * v
     dby = dby + axy * u + ayy * v
 
-    bw_ = jnp.asarray(_border_weight(H, W, _BORDER_RAMP))
+    bw_ = _border_weight_dev(H, W, _BORDER_RAMP)
     axx = axx * bw_
     ayy = ayy * bw_
     axy = axy * bw_
@@ -476,8 +490,8 @@ def _solve_flow_planes(M: jax.Array, winsize: int, gaussian: bool):
     else:
         k = np.ones(winsize, np.float64) / winsize
     kb = np.asarray(k, np.float64).tobytes()
-    Bv = jnp.asarray(_border_conv_matrix(H, kb, "replicate"))
-    Bh = jnp.asarray(_border_conv_matrix(W, kb, "replicate"))
+    Bv = as_operator(_border_conv_matrix(H, kb, "replicate"))
+    Bh = as_operator(_border_conv_matrix(W, kb, "replicate"))
     Mb = jnp.einsum("oh,...hw->...ow", Bv, M, preferred_element_type=jnp.float32)
     if M.dtype == jnp.bfloat16:
         # keep the full-res intermediate in bf16 too: the solve is
@@ -558,7 +572,7 @@ def _update_matrices(R0: jax.Array, R1p: jax.Array, flow: jax.Array) -> jax.Arra
     dbx = dbx + axx * dx + axy * dy
     dby = dby + axy * dx + ayy * dy
 
-    bw = jnp.asarray(_border_weight(H, W, _BORDER_RAMP))
+    bw = _border_weight_dev(H, W, _BORDER_RAMP)
     axx = axx * bw
     ayy = ayy * bw
     axy = axy * bw
@@ -586,8 +600,8 @@ def _solve_flow(M: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
     if _on_tpu():
         H, W = M.shape[-3], M.shape[-2]
         kb = np.asarray(k, np.float64).tobytes()
-        Bv = jnp.asarray(_border_conv_matrix(H, kb, "replicate"))
-        Bh = jnp.asarray(_border_conv_matrix(W, kb, "replicate"))
+        Bv = as_operator(_border_conv_matrix(H, kb, "replicate"))
+        Bh = as_operator(_border_conv_matrix(W, kb, "replicate"))
         Mb = jnp.einsum("oh,c...hw->c...ow", Bv, Mc,
                         preferred_element_type=jnp.float32)
         Mb = jnp.einsum("c...hw,pw->c...hp", Mb, Bh,
@@ -711,8 +725,8 @@ def calc_optical_flow_farneback(
 
         if _on_tpu():
             Cv, Ch = _prep_matrices(H, W, lh, lw, smooth_sz, sigma)
-            Cv = jnp.asarray(Cv)
-            Ch = jnp.asarray(Ch)
+            Cv = as_operator(Cv)
+            Ch = as_operator(Ch)
 
             def prep(img):
                 t = jnp.einsum("oh,...hw->...ow", Cv, img,

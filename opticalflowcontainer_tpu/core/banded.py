@@ -1,0 +1,89 @@
+"""Banded-compressed embedding of dense operator matrices into jit graphs.
+
+The TPU fast paths express separable convolutions, bilinear resizes and the
+Farneback pyramid/poly folds as dense [rows, cols] operator matrices consumed
+by MXU matmuls (see ``core/filters.py``, ``classical/farneback.py``).  Built
+with numpy at trace time, they used to enter the graph as full [N, N]
+literals — at 1080p the per-level poly-direct matrices alone serialize to
+hundreds of MB of HLO constants, which broke remote compiles outright
+(HTTP 413 through the axon compile tunnel) and inflated every compile upload.
+
+Every one of these operators is exactly banded: row i has a single contiguous
+run of nonzeros (a convolution/interp footprint with the border fold
+accumulating out-of-range taps into the edge columns).  ``as_operator``
+embeds only the per-row run start and the run values — O(rows·bandwidth)
+constants — and materializes the dense matrix ON DEVICE with iota compares.
+The materialization is pure select/placement (no arithmetic on the values),
+so the resulting matrix is BIT-IDENTICAL to the numpy original and every
+downstream matmul is unchanged.  XLA either constant-folds the expansion at
+compile time or hoists it out of scan loops as loop-invariant; both cost
+nothing per frame.
+
+The reference has no analogue (its CUDA kernels take scalar params); this is
+infrastructure for the TPU-native matmul formulation.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# Matrices at or below this many elements stay plain literals: the compressed
+# form only pays off once the dense literal dominates the serialized HLO.
+_EMBED_THRESHOLD_ELEMS = 256 * 1024
+
+
+def _compress_banded(M: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Per-row contiguous-run compression: (starts [R] int32, band [R, bw]).
+
+    Returns None when the matrix is not usefully banded (max row span wider
+    than half the columns) — callers fall back to the dense literal.
+    """
+    R, C = M.shape
+    nz = M != 0.0
+    any_nz = nz.any(axis=1)
+    first = np.where(any_nz, nz.argmax(axis=1), 0)
+    last = np.where(any_nz, C - 1 - nz[:, ::-1].argmax(axis=1), 0)
+    span = np.where(any_nz, last - first + 1, 0)
+    bw = int(span.max()) if R else 0
+    if bw == 0 or bw > max(C // 2, 1):
+        return None
+    starts = np.minimum(first, C - bw).astype(np.int32)
+    band = np.zeros((R, bw), M.dtype)
+    for i in range(R):
+        s = int(starts[i])
+        band[i] = M[i, s : s + bw]
+    return starts, band
+
+
+def materialize_banded(starts: jax.Array, band: jax.Array, n_cols: int) -> jax.Array:
+    """[R] run starts + [R, bw] run values -> dense [R, n_cols] (on device).
+
+    Placement-only: each output element receives exactly one band value (runs
+    are contiguous and within [start, start+bw)), so the result is
+    bit-identical to the dense original the band was compressed from.
+    """
+    R, bw = band.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_cols), 1)
+    s = starts[:, None]
+    out = jnp.zeros((R, n_cols), band.dtype)
+    for t in range(bw):
+        out = out + jnp.where(col == s + t, band[:, t : t + 1], 0)
+    return out
+
+
+def as_operator(M: np.ndarray) -> jax.Array:
+    """Trace-time replacement for ``jnp.asarray(operator_matrix)``.
+
+    Small or non-banded matrices embed as plain literals; large banded ones
+    embed as their (starts, band) compression plus an on-device expansion.
+    """
+    M = np.asarray(M)
+    if M.ndim != 2 or M.size <= _EMBED_THRESHOLD_ELEMS:
+        return jnp.asarray(M)
+    packed = _compress_banded(M)
+    if packed is None:
+        return jnp.asarray(M)
+    starts, band = packed
+    return materialize_banded(jnp.asarray(starts), jnp.asarray(band), M.shape[1])

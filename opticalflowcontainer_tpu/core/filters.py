@@ -97,7 +97,9 @@ def _corr1d_matmul(x: jax.Array, k, axis: int) -> jax.Array:
     the MXU eats an [n, n+K] matmul for free (bandwidth-bound either way)."""
     K = len(k)
     n = x.shape[axis] - K + 1
-    T = jnp.asarray(_toeplitz(n, np.asarray(k, np.float64).tobytes(), "f32"))
+    from .banded import as_operator
+
+    T = as_operator(_toeplitz(n, np.asarray(k, np.float64).tobytes(), "f32"))
     x = jnp.moveaxis(x, axis, -1)
     out = jnp.einsum("...j,oj->...o", x, T, preferred_element_type=jnp.float32)
     return jnp.moveaxis(out, -1, axis)

@@ -57,7 +57,9 @@ def _resize_axis(x: jax.Array, axis: int, dst: int, align_corners: bool) -> jax.
     if src == dst:
         return x
     if _on_tpu():
-        M = jnp.asarray(_interp_matrix(dst, src, align_corners))
+        from .banded import as_operator
+
+        M = as_operator(_interp_matrix(dst, src, align_corners))
         x = jnp.moveaxis(x, axis, -1)
         out = jnp.einsum("...j,oj->...o", x, M, preferred_element_type=jnp.float32)
         return jnp.moveaxis(out, -1, axis).astype(x.dtype)

@@ -1,0 +1,79 @@
+"""Banded-compressed operator embedding (core/banded.py).
+
+These operators drive the TPU matmul formulation of blurs/resizes/poly
+expansion; the compression must be BIT-exact or every parity bar in the
+suite silently drifts.  (The remote-compile motivation: at 1080p the dense
+literals serialized to hundreds of MB of HLO and broke compiles with
+HTTP 413 — see the module docstring.)
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from opticalflowcontainer_tpu.core.banded import (
+    _compress_banded,
+    as_operator,
+    materialize_banded,
+)
+from opticalflowcontainer_tpu.classical.farneback import (
+    _border_conv_matrix,
+    _poly_direct_matrices,
+)
+from opticalflowcontainer_tpu.core.resize import _interp_matrix
+
+
+def _roundtrip(M):
+    M = np.asarray(M, np.float32)
+    packed = _compress_banded(M)
+    assert packed is not None
+    starts, band = packed
+    dense = np.asarray(
+        materialize_banded(jnp.asarray(starts), jnp.asarray(band), M.shape[1])
+    )
+    np.testing.assert_array_equal(dense, M)
+    return band.shape[1]
+
+
+def test_blur_and_interp_matrices_roundtrip_bit_exact():
+    k = (np.ones(15, np.float64) / 15).tobytes()
+    assert _roundtrip(_border_conv_matrix(512, k, "replicate")) == 15
+    assert _roundtrip(_border_conv_matrix(384, k, "reflect101")) == 15
+    assert _roundtrip(_interp_matrix(192, 384, False)) == 2
+    assert _roundtrip(_interp_matrix(384, 192, False)) == 2
+
+
+def test_poly_direct_matrices_roundtrip_bit_exact():
+    # level-2 fold (interp stride 4 widens the band): every V and H operator
+    (Vs, Hs, _) = _poly_direct_matrices(
+        480, 640, 120, 160, 3, 0.0, 5, 1.2, 8, 130, 144, 256
+    )
+    for M in (*Vs, *Hs):
+        assert _roundtrip(M) <= 64
+
+
+def test_as_operator_small_matrix_is_plain_literal():
+    M = np.eye(8, dtype=np.float32)
+    out = np.asarray(as_operator(M))
+    np.testing.assert_array_equal(out, M)
+
+
+def test_as_operator_dense_matrix_falls_back():
+    # not banded: random dense — must fall back to the literal, not corrupt
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(600, 600)).astype(np.float32)
+    out = np.asarray(as_operator(M))
+    np.testing.assert_array_equal(out, M)
+
+
+def test_as_operator_large_banded_matches():
+    k = (np.ones(11, np.float64) / 11).tobytes()
+    M = _border_conv_matrix(600, k, "replicate")  # 600^2 > threshold
+    out = np.asarray(as_operator(M))
+    np.testing.assert_array_equal(out, M)
+
+
+def test_zero_rows_and_edge_runs():
+    M = np.zeros((300, 2000), np.float32)
+    M[0, :7] = 1.0          # run at left edge
+    M[299, -7:] = 2.0       # run at right edge (start clamped)
+    M[150, 1000:1004] = 3.0
+    _roundtrip(M)
