@@ -126,8 +126,10 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
             from ..models import LiteFlowNet
             from ..models.convert import convert_liteflownet
             from ..models.liteflownet import estimate as lfn_estimate
+            from ..models.liteflownet import load_liteflownet_synth
 
-            model = LiteFlowNet()
+            loaded = load_liteflownet_synth()
+            model = loaded[0] if loaded else LiteFlowNet()
 
             def run(img1, img2):
                 if not hasattr(run, "params"):
@@ -138,6 +140,8 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
                         run.params = convert_liteflownet(
                             {k: v.numpy() for k, v in sd.items()}
                         )
+                    elif loaded:
+                        run.params = loaded[1]
                     else:
                         run.params = model.init(
                             jax.random.PRNGKey(0), img1, img2)

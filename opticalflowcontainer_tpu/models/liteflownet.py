@@ -133,7 +133,10 @@ class LiteFlowNet(nn.Module):
     of 32 -> flow [H/2, W/2, 2] x20 (level-2 native resolution)."""
 
     @nn.compact
-    def __call__(self, img1, img2):
+    def __call__(self, img1, img2, return_pyramid: bool = False):
+        """``return_pyramid=True`` additionally returns the per-level raw
+        flows {level: [H/2^l, W/2^l, 2]} in the net's /20 units (training
+        supervision — the reference is inference-only and has no analogue)."""
         img1 = img1 - jnp.asarray(_MEAN_ONE, img1.dtype)
         img2 = img2 - jnp.asarray(_MEAN_TWO, img2.dtype)
         features = Features(name="features")
@@ -147,6 +150,7 @@ class LiteFlowNet(nn.Module):
             im1.append(resize_bilinear(im1[-1], size, channel_last=True))
             im2.append(resize_bilinear(im2[-1], size, channel_last=True))
         flow = None
+        pyramid = {}
         for lvl in (6, 5, 4, 3, 2):
             i = lvl - 1
             flow = Matching(lvl, name=f"matching{lvl}")(feats1[i], feats2[i], flow)
@@ -154,12 +158,28 @@ class LiteFlowNet(nn.Module):
             flow = Regularization(lvl, name=f"regularization{lvl}")(
                 im1[i], im2[i], feats1[i], flow
             )
+            pyramid[lvl] = flow
         # flow leaves the net in fp32 regardless of serving dtype
-        return flow.astype(jnp.float32) * 20.0
+        out = flow.astype(jnp.float32) * 20.0
+        if return_pyramid:
+            return out, pyramid
+        return out
 
 
 def _pad_to(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
+
+
+def load_liteflownet_synth():
+    """Packaged LFN weights if present (tools/train_flow.py --model
+    liteflownet — TPU-trained on synthetic affine motion), else None.  The
+    reference's real-weights path (the sniklaus URL checkpoint, reference
+    opticalflow_node.py:28-32) is the parity-proven converter
+    ``convert.convert_liteflownet``; this synthetic checkpoint exists so the
+    LFN family has a runnable learned path in the offline sandbox too."""
+    from .raft import _load_weights_npz
+
+    return _load_weights_npz("liteflownet_synth.npz", LiteFlowNet())
 
 
 def estimate(model: "LiteFlowNet", params, img1: jax.Array, img2: jax.Array) -> jax.Array:

@@ -110,7 +110,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="raft_small",
                     choices=("raft_small", "raft_large", "neuflow_lite",
-                             "pwcnet", "liteflownet3"))
+                             "pwcnet", "liteflownet3", "liteflownet"))
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--height", type=int, default=96)
@@ -176,17 +176,34 @@ def main(argv=None):
 
         def step_body(s, b):
             return train_step(model, tx, s, b, iters=args.iters)
-    elif name == "pwcnet":
-        from ..models import PWCNet
-        from ..models.pwcnet import load_pwcnet_synth as loader
+    elif name in ("pwcnet", "liteflownet3", "liteflownet"):
         from ..core.resize import resize_area
 
-        model = PWCNet()
-        init = lambda key: _kaiming_rescale(model.init(key, i0, i0))
         # original PWC multi-scale supervision: per-level L1 against the GT
         # downsampled to each level's resolution, in the net's /20 units
-        # (fine->coarse weights from the PWC-Net paper schedule)
+        # (fine->coarse weights from the PWC-Net paper schedule); the three
+        # coarse-to-fine direct-regression families share it, restricted to
+        # the levels each one actually predicts (PWC 6..2, LFN3 6..3,
+        # LFN 6..2)
         lvl_w = {6: 0.32, 5: 0.08, 4: 0.02, 3: 0.01, 2: 0.005}
+        if name == "pwcnet":
+            from ..models import PWCNet
+            from ..models.pwcnet import load_pwcnet_synth as loader
+
+            model = PWCNet()
+        elif name == "liteflownet3":
+            from ..models import LiteFlowNet3
+            from ..models.liteflownet3 import load_liteflownet3_synth as loader
+
+            model = LiteFlowNet3()
+        else:
+            from ..models import LiteFlowNet
+            from ..models.liteflownet import load_liteflownet_synth as loader
+
+            model = LiteFlowNet()
+        # all three trunks are norm-free leaky-conv stacks: rescale the
+        # default lecun init so activations do not decay level over level
+        init = lambda key: _kaiming_rescale(model.init(key, i0, i0))
 
         def step_body(s, b):
             def loss_fn(params):
@@ -199,37 +216,6 @@ def main(argv=None):
                             gt.transpose(2, 0, 1), (Hl, Wl)
                         ).transpose(1, 2, 0) * (1.0 / 20.0)
                         total = total + lvl_w[lvl] * jnp.abs(fl - gt_l).mean()
-                    return total
-
-                return jnp.mean(jax.vmap(one)(b["img1"], b["img2"], b["flow"]))
-
-            loss, grads = jax.value_and_grad(loss_fn)(s.params)
-            updates, opt_state = tx.update(grads, s.opt_state, s.params)
-            params = optax.apply_updates(s.params, updates)
-            return TrainState(params, opt_state, s.step + 1), loss
-    elif name == "liteflownet3":
-        from ..models import LiteFlowNet3
-        from ..models.liteflownet3 import load_liteflownet3_synth as loader
-        from ..core.resize import resize_area
-
-        model = LiteFlowNet3()
-        init = lambda key: _kaiming_rescale(model.init(key, i0, i0))
-        # same multi-scale supervision shape as PWC (per-level L1 on the
-        # net's /20-unit flows, coarse levels weighted up); LFN3's levels
-        # are [6..3] only
-        lvl_w3 = {6: 0.32, 5: 0.08, 4: 0.02, 3: 0.01}
-
-        def step_body(s, b):
-            def loss_fn(params):
-                def one(i1, i2, gt):
-                    _, pyr = model.apply(params, i1, i2, return_pyramid=True)
-                    total = 0.0
-                    for lvl, fl in pyr.items():
-                        Hl, Wl = fl.shape[0], fl.shape[1]
-                        gt_l = resize_area(
-                            gt.transpose(2, 0, 1), (Hl, Wl)
-                        ).transpose(1, 2, 0) * (1.0 / 20.0)
-                        total = total + lvl_w3[lvl] * jnp.abs(fl - gt_l).mean()
                     return total
 
                 return jnp.mean(jax.vmap(one)(b["img1"], b["img2"], b["flow"]))

@@ -39,6 +39,14 @@ def test_liteflownet_forward(rng):
     flow = model.apply(params, i1, i2)
     assert flow.shape == (32, 48, 2)
     assert np.isfinite(np.asarray(flow)).all()
+    # training supervision path: per-level raw flows, final level == output/20
+    flow2, pyr = model.apply(params, i1, i2, return_pyramid=True)
+    assert set(pyr) == {2, 3, 4, 5, 6}
+    assert pyr[6].shape == (2, 3, 2) and pyr[2].shape == (32, 48, 2)
+    np.testing.assert_allclose(np.asarray(flow2), np.asarray(flow), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pyr[2]) * 20.0, np.asarray(flow), rtol=1e-5, atol=1e-5
+    )
 
 
 def test_liteflownet3_forward(rng):
