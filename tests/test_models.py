@@ -239,22 +239,27 @@ def test_cast_params_bf16_conv(rng):
     assert np.abs(out - ref).max() < 0.1  # bf16 rounding only
 
 
-@pytest.mark.parametrize("loader_name,tol", [
-    ("load_raft_small_synth", 1.0),
-    ("load_raft_synth", 1.0),
-    ("load_neuflow_lite_synth", 1.2),
+@pytest.mark.parametrize("mod_name,loader_name,tol", [
+    ("raft", "load_raft_small_synth", 1.0),
+    ("raft", "load_raft_synth", 1.0),
+    ("neuflow", "load_neuflow_lite_synth", 1.2),
+    ("liteflownet3", "load_liteflownet3_synth", 1.2),
+    ("liteflownet", "load_liteflownet_synth", 1.2),
 ])
-def test_packaged_weights_recover_translation(loader_name, tol, rng):
+def test_packaged_weights_recover_translation(mod_name, loader_name, tol, rng):
     """The shipped TPU-trained checkpoints must load against the current
     architectures and recover a known translation — guards weight/arch drift
     (the reference's equivalent risk is a checkpoint/model mismatch at node
     start, reference lfn3_node.py:54-56)."""
+    import importlib
+
     import cv2
 
-    from opticalflowcontainer_tpu.models import neuflow, raft
-
-    mod = neuflow if "neuflow" in loader_name else raft
+    mod = importlib.import_module(
+        f"opticalflowcontainer_tpu.models.{mod_name}")
     loaded = getattr(mod, loader_name)()
+    if loaded is None and mod_name == "liteflownet":
+        pytest.skip("liteflownet synth npz not packaged yet")
     assert loaded is not None, f"{loader_name}: packaged npz missing"
     model, params = loaded
     base = cv2.GaussianBlur(
@@ -263,7 +268,7 @@ def test_packaged_weights_recover_translation(loader_name, tol, rng):
     i1 = np.repeat(base[:96, 8 : 8 + 128, None], 3, -1)
     i2 = np.repeat(base[:96, 4 : 4 + 128, None], 3, -1)  # shift +4 px
     est = mod.estimate
-    kw = {"iters": 8} if mod is raft else {}
+    kw = {"iters": 8} if mod_name == "raft" else {}
     flow = np.asarray(est(model, params, jnp.asarray(i1), jnp.asarray(i2), **kw))
     assert abs(float(flow[..., 0].mean()) - 4.0) < tol, flow[..., 0].mean()
     assert abs(float(flow[..., 1].mean())) < tol
