@@ -33,6 +33,10 @@ def main(argv=None):
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--clip", type=int, default=None, metavar="T",
+                    help="video-clip mode: one call computes T-1 consecutive "
+                    "fields from T frames with each frame's polynomial "
+                    "expansion computed once (farneback_clip shared planes)")
     ap.add_argument("--reps", type=int, default=None)
     ap.add_argument("--check-epe", action="store_true", default=True,
                     help="verify EPE vs cv2 on the device path (default on)")
@@ -52,7 +56,10 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from opticalflowcontainer_tpu.classical import farneback_batched
+    from opticalflowcontainer_tpu.classical import (
+        farneback_batched,
+        farneback_clip,
+    )
 
     # reps amortize the axon tunnel's per-execution scalar-fetch RTT
     # (~30-90 ms): at reps=6 the RTT inflated per-field time ~25% (recorded
@@ -68,54 +75,83 @@ def main(argv=None):
     B = args.batch or 2
     reps = args.reps or (4 if args.quick else 128)
     H, W = 720, 1280
-
-    def bench_fn(a, b):
-        def body(carry, _):
-            flow = farneback_batched(
-                a + 0.0 * carry, b,
-                pyr_scale=0.5, levels=3, winsize=15, iterations=3,
-                poly_n=5, poly_sigma=1.2,
-            )
-            return flow.sum(), None
-        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
-        return s
-
-    fn = jax.jit(bench_fn)
+    fb_kw = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                 poly_n=5, poly_sigma=1.2)
     rng = np.random.default_rng(0)
-    base = rng.uniform(0, 255, (B, H + 8, W + 8)).astype(np.float32)
-    a = jnp.asarray(base[:, 4 : 4 + H, 4 : 4 + W])
-    b = jnp.asarray(base[:, 4 : 4 + H, 2 : 2 + W])  # 2 px shift
+
+    if args.clip:
+        # Video-stream operating point: T frames -> T-1 fields per call with
+        # shared per-frame polynomial expansions (pairwise calls expand every
+        # interior frame twice — cv2's per-call contract).
+        T = args.clip
+        fields_per_call = T - 1
+        base = rng.uniform(0, 255, (H + 8, W + 2 * T)).astype(np.float32)
+        frames = jnp.asarray(np.stack(
+            [base[4 : 4 + H, 2 * t : 2 * t + W] for t in range(T)]))
+
+        def bench_fn(fr):
+            def body(carry, _):
+                flow = farneback_clip(fr + 0.0 * carry, **fb_kw)
+                return flow.sum(), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+            return s
+
+        fn = jax.jit(bench_fn)
+        fn_args = (frames,)
+    else:
+        fields_per_call = B
+        base = rng.uniform(0, 255, (B, H + 8, W + 8)).astype(np.float32)
+        a = jnp.asarray(base[:, 4 : 4 + H, 4 : 4 + W])
+        b = jnp.asarray(base[:, 4 : 4 + H, 2 : 2 + W])  # 2 px shift
+
+        def bench_fn(a, b):
+            def body(carry, _):
+                flow = farneback_batched(a + 0.0 * carry, b, **fb_kw)
+                return flow.sum(), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+            return s
+
+        fn = jax.jit(bench_fn)
+        fn_args = (a, b)
 
     t0 = time.time()
-    s0 = float(fn(a, b))
+    s0 = float(fn(*fn_args))
     compile_s = time.time() - t0
     if not args.json_only:
-        print(f"# backend={jax.default_backend()} B={B} reps={reps} "
+        print(f"# backend={jax.default_backend()} "
+              f"{'T=%d' % args.clip if args.clip else 'B=%d' % B} reps={reps} "
               f"compile+first={compile_s:.1f}s checksum={s0:.0f}", file=sys.stderr)
 
     # best-of-3 timed executions: the tunnel RTT has multi-second spikes;
     # min() measures the device, not the network
     elapsed = min(
-        (lambda t0: (float(fn(a, b)), time.time() - t0)[1])(time.time())
+        (lambda t0: (float(fn(*fn_args)), time.time() - t0)[1])(time.time())
         for _ in range(1 if args.quick else 3)
     )
-    per_field = elapsed / (reps * B)
+    per_field = elapsed / (reps * fields_per_call)
     fields_per_sec = 1.0 / per_field
 
     epe = None
     if args.check_epe:
         import cv2
 
-        f1 = np.asarray(a[0], np.float32).astype(np.uint8)
-        f2 = np.asarray(b[0], np.float32).astype(np.uint8)
+        if args.clip:
+            f1 = np.asarray(frames[0], np.float32).astype(np.uint8)
+            f2 = np.asarray(frames[1], np.float32).astype(np.uint8)
+            ours = np.asarray(
+                jax.jit(lambda fr: farneback_clip(fr, **fb_kw))(
+                    jnp.stack([jnp.asarray(f1, jnp.float32),
+                               jnp.asarray(f2, jnp.float32)]))
+            )[0]
+        else:
+            f1 = np.asarray(a[0], np.float32).astype(np.uint8)
+            f2 = np.asarray(b[0], np.float32).astype(np.uint8)
+            ours = np.asarray(
+                jax.jit(lambda x, y: farneback_batched(x, y, **fb_kw))(
+                    jnp.asarray(f1, jnp.float32)[None],
+                    jnp.asarray(f2, jnp.float32)[None])
+            )[0]
         ref = cv2.calcOpticalFlowFarneback(f1, f2, None, 0.5, 3, 15, 3, 5, 1.2, 0)
-        ours = np.asarray(
-            jax.jit(
-                lambda x, y: farneback_batched(x, y, levels=3, winsize=15, iterations=3)
-            )(
-                jnp.asarray(f1, jnp.float32)[None], jnp.asarray(f2, jnp.float32)[None]
-            )
-        )[0]
         epe = float(np.linalg.norm(ours - ref, axis=-1).mean())
         if not args.json_only:
             print(f"# device EPE vs cv2: {epe:.4f} px", file=sys.stderr)
@@ -129,7 +165,8 @@ def main(argv=None):
         "unit": "fields/s",
         "vs_baseline": round(fields_per_sec / BASELINE_FIELDS_PER_SEC, 4),
         "per_field_ms": round(per_field * 1000, 2),
-        "batch": B,
+        "batch": B if not args.clip else None,
+        "clip_frames": args.clip,
     }
     if epe is not None:
         record["epe_vs_cv2_px"] = round(epe, 5)

@@ -634,6 +634,70 @@ def _level_size(H: int, W: int, scale: float) -> tuple[int, int]:
     return int(round(H * scale)), int(round(W * scale))
 
 
+def _blockwarp_flow(prev_b, next_b, H, W, n_levels, pyr_scale, winsize,
+                    iterations, poly_n, poly_sigma, use_gauss,
+                    init_uv=None, frames_b=None):
+    """Plane-major fast path: block-patch Pallas warp, no gathers, no tap
+    packing, poly planes emitted pre-padded by taller matrices.  The pyramid
+    blur+resize AND the plane combination are folded into the poly-expansion
+    matrices (see :func:`_poly_direct_matrices`): each frame goes full-res
+    image -> 5 planes in 8 matmuls, R0 replicate-extended to the warp block
+    grid (values past (lh, lw) are never used), R1 emitted pre-padded +
+    pre-cast for the warp kernel's patch DMA.
+
+    Pair mode: ``prev_b``/``next_b`` are [B, H, W].  Clip mode: pass
+    ``frames_b`` [T, H, W] instead — consecutive-pair flow with the expansion
+    planes computed ONCE per frame; frame t's R0 role is the core slice of
+    the same padded planes (exact: ``_replicate_rows`` makes padded-operator
+    rows [pad, pad+rows_out) identical to the unpadded operator's rows, so
+    the slice IS the pair-mode R0 placement).  cv2 re-expands both frames
+    every call — on a video stream that is ~2x redundant poly work this path
+    avoids (the reference's hot loop pays it per frame,
+    reference lfn3_node.py:145-210 analogue)."""
+    bh, bwd = BLOCK_WARP_BLOCK
+    pad_y, pad_x = BLOCK_WARP_PAD
+    clip = frames_b is not None
+    batch_n = (frames_b.shape[0] - 1) if clip else prev_b.shape[0]
+    u = v = None
+    for k in range(n_levels, -1, -1):
+        scale = pyr_scale**k
+        lh, lw = _level_size(H, W, scale)
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+        if u is None:
+            if init_uv is not None:
+                u = resize_bilinear(init_uv[0], (lh, lw)) * scale
+                v = resize_bilinear(init_uv[1], (lh, lw)) * scale
+            else:
+                u = jnp.zeros((batch_n, lh, lw), jnp.float32)
+                v = jnp.zeros((batch_n, lh, lw), jnp.float32)
+        else:
+            u = resize_bilinear(u, (lh, lw)) / pyr_scale
+            v = resize_bilinear(v, (lh, lw)) / pyr_scale
+        rows_out, cols_out = _round_up(lh, bh), _round_up(lw, bwd)
+        mats1 = _poly_direct_matrices(
+            H, W, lh, lw, smooth_sz, float(sigma), poly_n,
+            float(poly_sigma), pad_y, pad_x, rows_out, cols_out)
+        if clip:
+            Rall = _poly_planes_direct(frames_b, mats1,
+                                       out_dtype=BLOCK_WARP_DTYPE)
+            R0 = jax.lax.slice(
+                Rall, (0, 0, pad_y, pad_x),
+                (batch_n, 5, pad_y + rows_out, pad_x + cols_out))
+            R1p = Rall[1:]
+        else:
+            mats0 = _poly_direct_matrices(
+                H, W, lh, lw, smooth_sz, float(sigma), poly_n,
+                float(poly_sigma), 0, 0, rows_out, cols_out)
+            R0 = _poly_planes_direct(prev_b, mats0, out_dtype=R0_DTYPE)
+            R1p = _poly_planes_direct(next_b, mats1,
+                                      out_dtype=BLOCK_WARP_DTYPE)
+        for _ in range(iterations):
+            M = _update_matrices_planes(R0, R1p, u, v, (lh, lw))
+            u, v = _solve_flow_planes(M, winsize, use_gauss)
+    return u, v
+
+
 def calc_optical_flow_farneback(
     prev: jax.Array,
     next: jax.Array,
@@ -660,50 +724,15 @@ def calc_optical_flow_farneback(
     n_levels = _num_levels(H, W, levels, pyr_scale)
 
     if _on_tpu() and BLOCK_WARP:
-        # Plane-major fast path: block-patch Pallas warp, no gathers, no
-        # tap packing, poly planes emitted pre-padded by taller matrices.
         batch_n = int(np.prod(batch, dtype=np.int64)) if batch else 1
-        prev_b = prev.reshape(batch_n, H, W)
-        next_b = next.reshape(batch_n, H, W)
-        bh, bwd = BLOCK_WARP_BLOCK
-        u = v = None
-        for k in range(n_levels, -1, -1):
-            scale = pyr_scale**k
-            lh, lw = _level_size(H, W, scale)
-            sigma = (1.0 / scale - 1.0) * 0.5
-            smooth_sz = max(int(round(sigma * 5)) | 1, 3)
-            if u is None:
-                if use_init:
-                    f0 = flow.reshape(batch_n, H, W, 2)
-                    u = resize_bilinear(f0[..., 0], (lh, lw)) * scale
-                    v = resize_bilinear(f0[..., 1], (lh, lw)) * scale
-                else:
-                    u = jnp.zeros((batch_n, lh, lw), jnp.float32)
-                    v = jnp.zeros((batch_n, lh, lw), jnp.float32)
-            else:
-                u = resize_bilinear(u, (lh, lw)) / pyr_scale
-                v = resize_bilinear(v, (lh, lw)) / pyr_scale
-            # Pyramid blur+resize AND the plane combination are folded into
-            # the poly-expansion matrices (see _poly_direct_matrices): each
-            # frame goes full-res image -> 5 planes in 8 matmuls, R0
-            # replicate-extended to the warp block grid (values past
-            # (lh, lw) are never used), R1 emitted pre-padded + pre-cast for
-            # the warp kernel's patch DMA.
-            pad_y, pad_x = BLOCK_WARP_PAD
-            mats0 = _poly_direct_matrices(
-                H, W, lh, lw, smooth_sz, float(sigma), poly_n,
-                float(poly_sigma), 0, 0, _round_up(lh, bh),
-                _round_up(lw, bwd))
-            mats1 = _poly_direct_matrices(
-                H, W, lh, lw, smooth_sz, float(sigma), poly_n,
-                float(poly_sigma), pad_y, pad_x, _round_up(lh, bh),
-                _round_up(lw, bwd))
-            R0 = _poly_planes_direct(prev_b, mats0, out_dtype=R0_DTYPE)
-            R1p = _poly_planes_direct(next_b, mats1,
-                                      out_dtype=BLOCK_WARP_DTYPE)
-            for _ in range(iterations):
-                M = _update_matrices_planes(R0, R1p, u, v, (lh, lw))
-                u, v = _solve_flow_planes(M, winsize, use_gauss)
+        init_uv = None
+        if use_init:
+            f0 = flow.reshape(batch_n, H, W, 2)
+            init_uv = (f0[..., 0], f0[..., 1])
+        u, v = _blockwarp_flow(
+            prev.reshape(batch_n, H, W), next.reshape(batch_n, H, W),
+            H, W, n_levels, pyr_scale, winsize, iterations, poly_n,
+            poly_sigma, use_gauss, init_uv=init_uv)
         return jnp.stack([u, v], axis=-1).reshape(batch + (H, W, 2))
 
     cur_flow = None
@@ -761,8 +790,97 @@ def farneback_batched(prev: jax.Array, next: jax.Array, **kwargs) -> jax.Array:
     return calc_optical_flow_farneback(prev, next, **kwargs)
 
 
+def farneback_stream_planes(gray: jax.Array, pyr_scale: float = 0.5,
+                            levels: int = 3, poly_n: int = 5,
+                            poly_sigma: float = 1.2, **_unused):
+    """Per-level padded expansion planes of one frame — the device-resident
+    state for :func:`farneback_stream_step`.  ``gray`` is [H, W] f32.
+    Returns a tuple (coarsest..finest) of [1, 5, rows, cols] bf16 planes in
+    the block-warp padded layout."""
+    H, W = gray.shape[-2], gray.shape[-1]
+    n_levels = _num_levels(H, W, levels, pyr_scale)
+    bh, bwd = BLOCK_WARP_BLOCK
+    pad_y, pad_x = BLOCK_WARP_PAD
+    g = gray.reshape(1, H, W).astype(jnp.float32)
+    out = []
+    for k in range(n_levels, -1, -1):
+        scale = pyr_scale**k
+        lh, lw = _level_size(H, W, scale)
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+        mats1 = _poly_direct_matrices(
+            H, W, lh, lw, smooth_sz, float(sigma), poly_n,
+            float(poly_sigma), pad_y, pad_x, _round_up(lh, bh),
+            _round_up(lw, bwd))
+        out.append(_poly_planes_direct(g, mats1, out_dtype=BLOCK_WARP_DTYPE))
+    return tuple(out)
+
+
+def farneback_stream_step(prev_planes, gray: jax.Array,
+                          pyr_scale: float = 0.5, levels: int = 3,
+                          winsize: int = 15, iterations: int = 3,
+                          poly_n: int = 5, poly_sigma: float = 1.2,
+                          flags: int = 0):
+    """One streaming Farneback step with the previous frame's polynomial
+    expansion carried as device state: ``(prev_planes, gray [H, W]) ->
+    (flow [H, W, 2], planes)``.  The returned ``planes`` feed the next call,
+    so each streamed frame is expanded exactly once (the pairwise entry
+    re-expands the previous frame every call — cv2's per-call contract, and
+    the reference hot loop's cost, reference lfn3_node.py:145-210).  State
+    layout matches :func:`farneback_stream_planes`; frame t-1's R0 role is
+    the core slice of its padded planes (exact — see
+    :func:`_blockwarp_flow`)."""
+    H, W = gray.shape[-2], gray.shape[-1]
+    n_levels = _num_levels(H, W, levels, pyr_scale)
+    use_gauss = bool(flags & OPTFLOW_FARNEBACK_GAUSSIAN)
+    bh, bwd = BLOCK_WARP_BLOCK
+    pad_y, pad_x = BLOCK_WARP_PAD
+    g = gray.reshape(1, H, W).astype(jnp.float32)
+    new_planes = []
+    u = v = None
+    for i, k in enumerate(range(n_levels, -1, -1)):
+        scale = pyr_scale**k
+        lh, lw = _level_size(H, W, scale)
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+        if u is None:
+            u = jnp.zeros((1, lh, lw), jnp.float32)
+            v = jnp.zeros((1, lh, lw), jnp.float32)
+        else:
+            u = resize_bilinear(u, (lh, lw)) / pyr_scale
+            v = resize_bilinear(v, (lh, lw)) / pyr_scale
+        rows_out, cols_out = _round_up(lh, bh), _round_up(lw, bwd)
+        mats1 = _poly_direct_matrices(
+            H, W, lh, lw, smooth_sz, float(sigma), poly_n,
+            float(poly_sigma), pad_y, pad_x, rows_out, cols_out)
+        R1p = _poly_planes_direct(g, mats1, out_dtype=BLOCK_WARP_DTYPE)
+        new_planes.append(R1p)
+        R0 = jax.lax.slice(
+            prev_planes[i], (0, 0, pad_y, pad_x),
+            (1, 5, pad_y + rows_out, pad_x + cols_out))
+        for _ in range(iterations):
+            M = _update_matrices_planes(R0, R1p, u, v, (lh, lw))
+            u, v = _solve_flow_planes(M, winsize, use_gauss)
+    return jnp.stack([u[0], v[0]], axis=-1), tuple(new_planes)
+
+
 def farneback_clip(frames: jax.Array, **kwargs) -> jax.Array:
     """Dense flow over a clip: [T, H, W] -> [T-1, H, W, 2] for consecutive
     pairs, as one batched program (BASELINE config 3: batched Farneback over
-    30-frame 720p clips)."""
+    30-frame 720p clips).  On the TPU block-warp path each frame's polynomial
+    expansion is computed once and shared between its next/prev roles
+    (pairwise calls expand every interior frame twice)."""
+    if (_on_tpu() and BLOCK_WARP and frames.ndim == 3
+            and not (kwargs.get("flags", 0) & OPTFLOW_USE_INITIAL_FLOW)):
+        T, H, W = frames.shape
+        pyr_scale = kwargs.get("pyr_scale", 0.5)
+        u, v = _blockwarp_flow(
+            None, None, H, W,
+            _num_levels(H, W, kwargs.get("levels", 3), pyr_scale),
+            pyr_scale, kwargs.get("winsize", 15),
+            kwargs.get("iterations", 3), kwargs.get("poly_n", 5),
+            kwargs.get("poly_sigma", 1.2),
+            bool(kwargs.get("flags", 0) & OPTFLOW_FARNEBACK_GAUSSIAN),
+            frames_b=frames.astype(jnp.float32))
+        return jnp.stack([u, v], axis=-1)
     return farneback_batched(frames[:-1], frames[1:], **kwargs)

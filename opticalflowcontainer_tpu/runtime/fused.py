@@ -27,7 +27,17 @@ import jax
 import jax.numpy as jnp
 
 from ..classical import calc_optical_flow_farneback
+from ..classical import farneback as _fb
 from ..core.color import bgr_to_gray
+
+
+def _aggregate_u(u, mask, aggregate: str, masked: bool):
+    if masked:
+        if aggregate == "mean":
+            m = mask.astype(jnp.float32)
+            return jnp.sum(u * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return jnp.nanmedian(jnp.where(mask, u, jnp.nan))
+    return jnp.mean(u) if aggregate == "mean" else jnp.median(u)
 
 
 @functools.partial(
@@ -40,16 +50,32 @@ def _fused_step(prev_gray, frame, mask, aggregate: str, masked: bool,
     f = frame.astype(jnp.float32)
     gray = bgr_to_gray(f) if f.ndim == 3 else f
     flow = calc_optical_flow_farneback(prev_gray, gray, **dict(fb_kwargs))
-    u = flow[..., 0]
-    if masked:
-        if aggregate == "mean":
-            m = mask.astype(jnp.float32)
-            du = jnp.sum(u * m) / jnp.maximum(jnp.sum(m), 1.0)
-        else:
-            du = jnp.nanmedian(jnp.where(mask, u, jnp.nan))
-    else:
-        du = jnp.mean(u) if aggregate == "mean" else jnp.median(u)
-    return gray, du
+    return gray, _aggregate_u(flow[..., 0], mask, aggregate, masked)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("aggregate", "masked", "fb_kwargs")
+)
+def _fused_step_planes(prev_planes, frame, mask, aggregate: str, masked: bool,
+                       fb_kwargs: tuple):
+    """Planes-carrying fused step (TPU block-warp path): the device state is
+    the previous frame's per-level polynomial-expansion planes, so each
+    streamed frame is expanded exactly once
+    (:func:`classical.farneback.farneback_stream_step`)."""
+    f = frame.astype(jnp.float32)
+    gray = bgr_to_gray(f) if f.ndim == 3 else f
+    flow, planes = _fb.farneback_stream_step(
+        prev_planes, gray, **dict(fb_kwargs))
+    return planes, _aggregate_u(flow[..., 0], mask, aggregate, masked)
+
+
+def _planes_mode() -> bool:
+    return _fb._on_tpu() and _fb.BLOCK_WARP
+
+
+@functools.partial(jax.jit, static_argnames=("fb_kwargs",))
+def _stream_planes(gray, fb_kwargs: tuple):
+    return _fb.farneback_stream_planes(gray, **dict(fb_kwargs))
 
 
 class FusedFarnebackStream:
@@ -62,28 +88,32 @@ class FusedFarnebackStream:
         assert aggregate in ("mean", "median")
         self.aggregate = aggregate
         self.fb_kwargs = tuple(sorted(fb_kwargs.items()))
-        self._gray: jax.Array | None = None
+        self._state = None  # prev gray (lax path) or prev planes (block path)
+        self._planes_mode = _planes_mode()
 
     def reset(self):
-        self._gray = None
+        self._state = None
 
     def warmup(self, frame: np.ndarray, mask: np.ndarray | None = None):
         """Compile both the first-frame and steady-state programs."""
-        g0 = self._gray
+        s0 = self._state
         self.step(frame, mask)
         self.step(frame, mask)
-        self._gray = g0
+        self._state = s0
 
     def step(self, frame: np.ndarray, mask: np.ndarray | None = None):
         """Returns du (device f32 scalar, pixels) or None on the first frame."""
         frame = jnp.asarray(frame)
-        if self._gray is None:
+        if self._state is None:
             f = frame.astype(jnp.float32)
-            self._gray = bgr_to_gray(f) if f.ndim == 3 else f
+            gray = bgr_to_gray(f) if f.ndim == 3 else f
+            self._state = (_stream_planes(gray, self.fb_kwargs)
+                           if self._planes_mode else gray)
             return None
         m = jnp.zeros((), bool) if mask is None else jnp.asarray(mask, bool)
-        self._gray, du = _fused_step(
-            self._gray, frame, m, self.aggregate, mask is not None,
+        step_fn = _fused_step_planes if self._planes_mode else _fused_step
+        self._state, du = step_fn(
+            self._state, frame, m, self.aggregate, mask is not None,
             self.fb_kwargs,
         )
         return du
@@ -180,7 +210,7 @@ def make_fused_farneback_backend(aggregate: str = "mean", **fb_kwargs) -> Callab
     stream = FusedFarnebackStream(aggregate=aggregate, **fb_kwargs)
 
     def backend(prev, cur, dt, mask=None):
-        if stream._gray is None:
+        if stream._state is None:
             stream.step(prev, mask)
         du = stream.step(cur, mask)
         return float(du)
@@ -297,18 +327,23 @@ def measure_device_stream_ms(
         [base[:, i : i + width] for i in range(n_steps)]
     )
     kw = tuple(sorted(fb_kwargs.items()))
+    planes = _planes_mode()
+    step_fn = _fused_step_planes if planes else _fused_step
 
-    def chained(stack, g0):
-        def body(g, fr):
-            g2, du = _fused_step(g, fr, jnp.zeros((), bool), aggregate, False, kw)
-            return g2, du
-        g_end, dus = jax.lax.scan(body, g0, stack)
-        return dus.sum() + g_end.sum()
+    def chained(stack, s0):
+        def body(s, fr):
+            s2, du = step_fn(s, fr, jnp.zeros((), bool), aggregate, False, kw)
+            return s2, du
+        s_end, dus = jax.lax.scan(body, s0, stack)
+        return dus.sum() + jax.tree_util.tree_reduce(
+            lambda a, leaf: a + leaf.astype(jnp.float32).sum(),
+            s_end, jnp.float32(0))
 
     fn = jax.jit(chained)
     stack = jnp.asarray(frames)
     g0 = bgr_to_gray(jnp.asarray(frames[0], jnp.float32))
-    float(fn(stack, g0))  # compile
+    s0 = _stream_planes(g0, kw) if planes else g0
+    float(fn(stack, s0))  # compile
     t0 = time.perf_counter()
-    float(fn(stack, g0))
+    float(fn(stack, s0))
     return (time.perf_counter() - t0) / n_steps * 1000.0

@@ -148,3 +148,27 @@ def test_fused_model_stream_matches_unfused_backend():
     du_m = fused2(f[0], f[1], 1.0, mask)
     flow01 = plain(f[0], f[1], 1.0)
     assert du_m == pytest.approx(float(flow01[..., 0][mask].mean()), abs=1e-4)
+
+
+def test_fused_planes_mode_matches_gray_path(monkeypatch):
+    """The planes-carrying stream state (TPU block-warp path: each frame's
+    polynomial expansion computed once, previous frame's planes reused from
+    device state) must produce the same per-frame displacement as the
+    gray-carrying path that re-expands both frames every step."""
+    import opticalflowcontainer_tpu.classical.farneback as fb
+    import opticalflowcontainer_tpu.runtime.fused as fused
+
+    f = _frames(n=4, h=96, w=128)
+    ref = fused.FusedFarnebackStream(aggregate="mean", **FB)
+    refs = [ref.step(fr) for fr in f]
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "_on_tpu", lambda: True)
+    st = fused.FusedFarnebackStream(aggregate="mean", **FB)
+    assert st._planes_mode
+    outs = [st.step(fr) for fr in f]
+    assert refs[0] is None and outs[0] is None
+    for r, o in zip(refs[1:], outs[1:]):
+        # gray path = exact lax gather fp32; planes path = block-warp kernel
+        # with bf16 patches — same tolerance as the kernel-vs-exact guard
+        assert abs(float(r) - float(o)) < 0.05, (float(r), float(o))

@@ -220,3 +220,30 @@ def test_poly_planes_direct_matches_prep_then_poly(rng):
                                        cols_out + 2 * pad_x)
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=2e-5 * scale)
+
+
+def test_farneback_clip_shared_planes_matches_pairwise(rng, monkeypatch):
+    """farneback_clip's shared-expansion path (poly planes computed once per
+    frame, R0 = core slice of the padded planes) must match independent
+    pairwise block-path calls: _replicate_rows makes padded-operator rows
+    [pad, pad+rows_out) identical to the unpadded operator, so the slice is
+    the same linear map as the pair-mode R0 matrices."""
+    import opticalflowcontainer_tpu.classical.farneback as fb
+
+    H, W = 96, 128
+    T = 4
+    base = rng.uniform(0, 255, (H + 16, W + 32)).astype(np.float32)
+    frames = np.stack(
+        [base[8 : 8 + H, 8 + 3 * t : 8 + 3 * t + W] for t in range(T)]
+    )
+    kw = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+              poly_n=5, poly_sigma=1.2)
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "_on_tpu", lambda: True)
+    fj = jnp.asarray(frames)
+    clip = np.asarray(fb.farneback_clip(fj, **kw))
+    pair = np.asarray(fb.farneback_batched(fj[:-1], fj[1:], **kw))
+    assert clip.shape == (T - 1, H, W, 2)
+    d = np.linalg.norm(clip - pair, axis=-1)
+    assert d.mean() < 1e-3 and d.max() < 0.02, (d.mean(), d.max())
