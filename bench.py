@@ -72,6 +72,13 @@ def main(argv=None):
     # path).  B=2 is the shipped operating point.
     # At B=2 the per-execution RTT needs a longer chain to vanish: reps=128
     # puts ~0.55 s of device work behind one sync (<2% bias at 90 ms RTT).
+    # Default operating point: clip mode T=5 (4 consecutive fields/call with
+    # shared per-frame polynomial expansions).  Interleaved same-process A/B
+    # at equal fields/call (2026-08-17): clip 3.16 vs pair 3.77 ms/field —
+    # the video-stream contract saves the interior frames' duplicate
+    # expansions.  --batch N selects the independent-pairs mode instead.
+    if args.clip is None and args.batch is None:
+        args.clip = 5
     B = args.batch or 2
     reps = args.reps or (4 if args.quick else 128)
     H, W = 720, 1280
