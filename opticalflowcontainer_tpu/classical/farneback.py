@@ -801,7 +801,8 @@ def farneback_stream_planes(gray: jax.Array, pyr_scale: float = 0.5,
     n_levels = _num_levels(H, W, levels, pyr_scale)
     bh, bwd = BLOCK_WARP_BLOCK
     pad_y, pad_x = BLOCK_WARP_PAD
-    g = gray.reshape(1, H, W).astype(jnp.float32)
+    lead = gray.shape[:-2] if gray.ndim > 2 else (1,)
+    g = gray.reshape(lead + (H, W)).astype(jnp.float32)
     out = []
     for k in range(n_levels, -1, -1):
         scale = pyr_scale**k
@@ -823,7 +824,8 @@ def farneback_stream_step(prev_planes, gray: jax.Array,
                           flags: int = 0):
     """One streaming Farneback step with the previous frame's polynomial
     expansion carried as device state: ``(prev_planes, gray [H, W]) ->
-    (flow [H, W, 2], planes)``.  The returned ``planes`` feed the next call,
+    (flow [H, W, 2], planes)``; batched form ``gray [N, H, W] ->
+    flow [N, H, W, 2]`` with [N, ...] plane leaves (multi-stream state).  The returned ``planes`` feed the next call,
     so each streamed frame is expanded exactly once (the pairwise entry
     re-expands the previous frame every call — cv2's per-call contract, and
     the reference hot loop's cost, reference lfn3_node.py:145-210).  State
@@ -835,7 +837,9 @@ def farneback_stream_step(prev_planes, gray: jax.Array,
     use_gauss = bool(flags & OPTFLOW_FARNEBACK_GAUSSIAN)
     bh, bwd = BLOCK_WARP_BLOCK
     pad_y, pad_x = BLOCK_WARP_PAD
-    g = gray.reshape(1, H, W).astype(jnp.float32)
+    batched = gray.ndim > 2
+    N = gray.shape[0] if batched else 1
+    g = gray.reshape(N, H, W).astype(jnp.float32)
     new_planes = []
     u = v = None
     for i, k in enumerate(range(n_levels, -1, -1)):
@@ -844,8 +848,8 @@ def farneback_stream_step(prev_planes, gray: jax.Array,
         sigma = (1.0 / scale - 1.0) * 0.5
         smooth_sz = max(int(round(sigma * 5)) | 1, 3)
         if u is None:
-            u = jnp.zeros((1, lh, lw), jnp.float32)
-            v = jnp.zeros((1, lh, lw), jnp.float32)
+            u = jnp.zeros((N, lh, lw), jnp.float32)
+            v = jnp.zeros((N, lh, lw), jnp.float32)
         else:
             u = resize_bilinear(u, (lh, lw)) / pyr_scale
             v = resize_bilinear(v, (lh, lw)) / pyr_scale
@@ -857,11 +861,12 @@ def farneback_stream_step(prev_planes, gray: jax.Array,
         new_planes.append(R1p)
         R0 = jax.lax.slice(
             prev_planes[i], (0, 0, pad_y, pad_x),
-            (1, 5, pad_y + rows_out, pad_x + cols_out))
+            (N, 5, pad_y + rows_out, pad_x + cols_out))
         for _ in range(iterations):
             M = _update_matrices_planes(R0, R1p, u, v, (lh, lw))
             u, v = _solve_flow_planes(M, winsize, use_gauss)
-    return jnp.stack([u[0], v[0]], axis=-1), tuple(new_planes)
+    flow = jnp.stack([u, v], axis=-1)
+    return (flow if batched else flow[0]), tuple(new_planes)
 
 
 def farneback_clip(frames: jax.Array, **kwargs) -> jax.Array:

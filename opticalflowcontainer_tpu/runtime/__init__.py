@@ -45,6 +45,7 @@ from .multistream import (
     MultiStreamFlow,
     make_batched_farneback,
     make_batched_fused_farneback,
+    make_stateful_batched_fused_farneback,
 )
 from .fused import (
     FusedFarnebackStream,
@@ -82,6 +83,7 @@ __all__ = [
     "MultiStreamFlow",
     "make_batched_farneback",
     "make_batched_fused_farneback",
+    "make_stateful_batched_fused_farneback",
     "FusedFarnebackStream",
     "FusedModelStream",
     "make_fused_farneback_backend",

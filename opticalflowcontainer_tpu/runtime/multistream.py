@@ -96,7 +96,10 @@ class MultiStreamFlow:
             prev = np.stack([p[0] for _, p in ready])
             cur = np.stack([p[1] for _, p in ready])
             fused = getattr(self.backend, "returns_displacement", False)
-            out = np.asarray(self.backend(prev, cur))
+            if getattr(self.backend, "stateful", False):
+                out = np.asarray(self.backend(prev, cur, idxs))
+            else:
+                out = np.asarray(self.backend(prev, cur))
             self.batches += 1
             self.fields += len(idxs)
             for k, (i, (_, _, t0, t1)) in enumerate(ready):
@@ -171,5 +174,84 @@ def make_batched_fused_farneback(n_streams: int, aggregate: str = "mean",
         return np.asarray(fn(prev, cur))[:n]
 
     backend.returns_displacement = True
+
+    return backend
+
+
+def make_stateful_batched_fused_farneback(n_streams: int,
+                                          aggregate: str = "mean",
+                                          **kwargs):
+    """Planes-carrying batched fused backend (TPU block-warp path): the
+    device state holds every stream's previous-frame polynomial expansion,
+    so each streamed frame is expanded exactly once even across N streams
+    (``make_batched_fused_farneback`` re-expands each stream's previous
+    frame every batch).  Contract: ``backend(prev, cur, idxs)`` where
+    ``idxs`` are the stream indices of the batch rows; the batch is padded
+    to a fixed ``n_streams + 1`` rows with pad rows targeting a scratch
+    state slot (one compile, no state pollution).  Streams are lazily
+    seeded from ``prev`` on their first batch.  Returns [n] pixel
+    displacements.  Off the TPU block-warp path, fall back to
+    :func:`make_batched_fused_farneback`."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..classical import farneback as fb
+
+    assert aggregate in ("mean", "median")
+    R = n_streams + 1  # fixed batch rows; row with idx == n_streams = scratch
+
+    def _du(u):
+        return (jnp.mean(u, axis=(1, 2)) if aggregate == "mean"
+                else jnp.median(u.reshape(u.shape[0], -1), axis=1))
+
+    @jax.jit
+    def steady(state, cur, idx):
+        R0 = tuple(L[idx] for L in state)
+        flow, newp = fb.farneback_stream_step(R0, cur, **kwargs)
+        state2 = tuple(L.at[idx].set(P) for L, P in zip(state, newp))
+        return state2, _du(flow[..., 0])
+
+    @jax.jit
+    def seed_step(state, prev, cur, idx, fresh):
+        seeded = fb.farneback_stream_planes(prev, **kwargs)
+        R0 = tuple(
+            jnp.where(fresh[:, None, None, None], S, L[idx])
+            for L, S in zip(state, seeded)
+        )
+        flow, newp = fb.farneback_stream_step(R0, cur, **kwargs)
+        state2 = tuple(L.at[idx].set(P) for L, P in zip(state, newp))
+        return state2, _du(flow[..., 0])
+
+    state = None
+    stream_seeded = np.zeros(n_streams + 1, bool)
+    stream_seeded[n_streams] = True  # scratch slot: never re-seed
+
+    def backend(prev, cur, idxs):
+        nonlocal state
+        n = cur.shape[0]
+        idx = np.full(R, n_streams, np.int32)
+        idx[:n] = np.asarray(idxs, np.int32)
+        pad = R - n
+        prev_p = np.concatenate([prev, np.repeat(prev[-1:], pad, 0)])
+        cur_p = np.concatenate([cur, np.repeat(cur[-1:], pad, 0)])
+        if state is None:
+            # allocate the state pytree once from the seeding expansion
+            state = tuple(
+                jnp.zeros((n_streams + 1,) + tuple(L.shape[1:]), L.dtype)
+                for L in fb.farneback_stream_planes(
+                    jnp.asarray(prev_p[:1]), **kwargs)
+            )
+        fresh = ~stream_seeded[idx]
+        if fresh[:n].any():
+            state, du = seed_step(state, jnp.asarray(prev_p),
+                                  jnp.asarray(cur_p), idx,
+                                  jnp.asarray(fresh))
+            stream_seeded[idx[:n]] = True
+        else:
+            state, du = steady(state, jnp.asarray(cur_p), idx)
+        return np.asarray(du)[:n]
+
+    backend.returns_displacement = True
+    backend.stateful = True
 
     return backend

@@ -120,3 +120,45 @@ def test_checkpoint_roundtrip(tmp_path):
     leaves1 = jax.tree_util.tree_leaves(restored.params)
     assert len(leaves0) == len(leaves1)
     np.testing.assert_allclose(np.asarray(leaves0[0]), np.asarray(leaves1[0]))
+
+
+def test_multistream_stateful_matches_stateless(monkeypatch):
+    """The planes-carrying stateful batched backend (each stream's previous
+    expansion held as device state, scratch-slot padding, lazy seeding) must
+    reproduce the stateless fused backend's displacements across consecutive
+    batches, late-joining streams, and padded partial batches."""
+    import opticalflowcontainer_tpu.classical.farneback as fb
+    from opticalflowcontainer_tpu.runtime.multistream import (
+        make_batched_fused_farneback,
+        make_stateful_batched_fused_farneback,
+    )
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "_on_tpu", lambda: True)
+
+    rng = np.random.default_rng(2)
+    kw = dict(levels=1, winsize=11, iterations=1)
+    n = 3
+    frames = rng.uniform(0, 255, (4, n, 96, 128)).astype(np.float32)
+
+    ref = make_batched_fused_farneback(n, **kw)
+    st = make_stateful_batched_fused_farneback(n, **kw)
+    assert st.stateful and st.returns_displacement
+
+    # batch 1: streams 0 and 1 only (stream 2 joins late); padded row
+    idxs = [0, 1]
+    want = ref(frames[0][idxs], frames[1][idxs])
+    got = st(frames[0][idxs], frames[1][idxs], idxs)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+    # batch 2: all three streams; 0/1 hit the steady path (state reuse),
+    # 2 is freshly seeded from its prev row
+    idxs = [0, 1, 2]
+    want = ref(frames[1][idxs], frames[2][idxs])
+    got = st(frames[1][idxs], frames[2][idxs], idxs)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+    # batch 3: steady state for everyone
+    want = ref(frames[2][idxs], frames[3][idxs])
+    got = st(frames[2][idxs], frames[3][idxs], idxs)
+    np.testing.assert_allclose(got, want, atol=5e-3)
