@@ -38,6 +38,8 @@ def main(argv=None):
                     "fields from T frames with each frame's polynomial "
                     "expansion computed once (farneback_clip shared planes)")
     ap.add_argument("--reps", type=int, default=None)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--check-epe", action="store_true", default=True,
                     help="verify EPE vs cv2 on the device path (default on)")
     ap.add_argument("--no-check-epe", dest="check_epe", action="store_false")
@@ -81,7 +83,7 @@ def main(argv=None):
         args.clip = 5
     B = args.batch or 2
     reps = args.reps or (4 if args.quick else 128)
-    H, W = 720, 1280
+    H, W = args.height, args.width
     fb_kw = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
                  poly_n=5, poly_sigma=1.2)
     rng = np.random.default_rng(0)
@@ -167,7 +169,9 @@ def main(argv=None):
         print(f"# per-field {per_field * 1000:.1f} ms (sequential per-field "
               f"chain; batch-amortized)", file=sys.stderr)
     record = {
-        "metric": "farneback_720p_fields_per_sec",
+        "metric": ("farneback_720p_fields_per_sec"
+                   if (H, W) == (720, 1280)
+                   else f"farneback_{H}p_fields_per_sec"),
         "value": round(fields_per_sec, 2),
         "unit": "fields/s",
         "vs_baseline": round(fields_per_sec / BASELINE_FIELDS_PER_SEC, 4),
