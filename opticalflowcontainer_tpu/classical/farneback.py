@@ -79,6 +79,10 @@ BLOCK_WARP_BLOCK = (48, 128)
 BLOCK_WARP_SLACK = 2
 BLOCK_WARP_PAD = (40, 192)  # (pad_y, pad_x): room for the tile-aligned patch + displacement range
 BLOCK_WARP_DTYPE = jnp.bfloat16  # patch DMA dtype; accumulation stays fp32
+# clip/stream shared-expansion gate: frames with <= this many pixels share
+# the padded planes at EVERY pyramid level; larger frames share only the
+# finest level (per-resolution measurements in _blockwarp_flow's comment)
+CLIP_SHARE_ALL_MAX_PIXELS = 1_500_000
 BLOCK_WARP_REALIGN = "roll"  # patch realign: "roll" (lane rotates) | "matmul"
 BLOCK_WARP_PHASES = 2  # 64-lane-shifted source copies: narrower patches
 # Tap selection form inside the warp kernel ("slice" | "roll"); measured
@@ -678,13 +682,35 @@ def _blockwarp_flow(prev_b, next_b, H, W, n_levels, pyr_scale, winsize,
         mats1 = _poly_direct_matrices(
             H, W, lh, lw, smooth_sz, float(sigma), poly_n,
             float(poly_sigma), pad_y, pad_x, rows_out, cols_out)
-        if clip:
+        if clip and (k == 0 or H * W <= CLIP_SHARE_ALL_MAX_PIXELS):
+            # Shared expansion: the frame's R0 role is the core slice of the
+            # padded planes.  The slice's cost is an XLA fusion/layout
+            # lottery (the offset-192 lane slice crosses (8,128) tiles):
+            # measured per-resolution on v5e, sharing EVERY level wins at
+            # <=720p (3.16 vs 3.77 ms/field) but blows up 4x at 1080p
+            # (+52 ms/field from the coarsest level alone), where sharing
+            # ONLY the finest level wins (10.9 vs 14.0 ms/field) — and the
+            # reverse choices lose 4-6x at the other resolution.  Hence the
+            # empirical area gate; an optimization_barrier (forced
+            # materialization) was 7x slower at 720p, so the fast cases rely
+            # on XLA fusing the slice away (A/B + level-sweep probes,
+            # 2026-08-17).
             Rall = _poly_planes_direct(frames_b, mats1,
                                        out_dtype=BLOCK_WARP_DTYPE)
             R0 = jax.lax.slice(
                 Rall, (0, 0, pad_y, pad_x),
                 (batch_n, 5, pad_y + rows_out, pad_x + cols_out))
             R1p = Rall[1:]
+        elif clip:
+            # large-frame coarse levels: pair-mode expansions (duplicate
+            # poly work is cheap at 2x+ downsampled sizes)
+            mats0 = _poly_direct_matrices(
+                H, W, lh, lw, smooth_sz, float(sigma), poly_n,
+                float(poly_sigma), 0, 0, rows_out, cols_out)
+            R0 = _poly_planes_direct(frames_b[:-1], mats0,
+                                     out_dtype=R0_DTYPE)
+            R1p = _poly_planes_direct(frames_b[1:], mats1,
+                                      out_dtype=BLOCK_WARP_DTYPE)
         else:
             mats0 = _poly_direct_matrices(
                 H, W, lh, lw, smooth_sz, float(sigma), poly_n,

@@ -107,6 +107,12 @@ class FusedFarnebackStream:
         if self._state is None:
             f = frame.astype(jnp.float32)
             gray = bgr_to_gray(f) if f.ndim == 3 else f
+            if (gray.shape[-2] * gray.shape[-1]
+                    > _fb.CLIP_SHARE_ALL_MAX_PIXELS):
+                # the planes state shares every pyramid level; above the
+                # measured gate that slice/fusion combination regresses
+                # (classical/farneback.py) — carry the gray instead
+                self._planes_mode = False
             self._state = (_stream_planes(gray, self.fb_kwargs)
                            if self._planes_mode else gray)
             return None
@@ -327,7 +333,7 @@ def measure_device_stream_ms(
         [base[:, i : i + width] for i in range(n_steps)]
     )
     kw = tuple(sorted(fb_kwargs.items()))
-    planes = _planes_mode()
+    planes = _planes_mode() and height * width <= _fb.CLIP_SHARE_ALL_MAX_PIXELS
     step_fn = _fused_step_planes if planes else _fused_step
 
     def chained(stack, s0):

@@ -226,8 +226,19 @@ def make_stateful_batched_fused_farneback(n_streams: int,
     stream_seeded = np.zeros(n_streams + 1, bool)
     stream_seeded[n_streams] = True  # scratch slot: never re-seed
 
+    fallback = None
+
     def backend(prev, cur, idxs):
-        nonlocal state
+        nonlocal state, fallback
+        if fallback is None and (cur.shape[-2] * cur.shape[-1]
+                                 > fb.CLIP_SHARE_ALL_MAX_PIXELS):
+            # the planes state shares every pyramid level; above the measured
+            # gate that combination regresses (classical/farneback.py) —
+            # route to the stateless pair backend instead
+            fallback = make_batched_fused_farneback(
+                n_streams, aggregate=aggregate, **kwargs)
+        if fallback is not None:
+            return fallback(prev, cur)
         n = cur.shape[0]
         idx = np.full(R, n_streams, np.int32)
         idx[:n] = np.asarray(idxs, np.int32)
