@@ -247,3 +247,28 @@ def test_farneback_clip_shared_planes_matches_pairwise(rng, monkeypatch):
     assert clip.shape == (T - 1, H, W, 2)
     d = np.linalg.norm(clip - pair, axis=-1)
     assert d.mean() < 1e-3 and d.max() < 0.02, (d.mean(), d.max())
+
+
+def test_farneback_clip_finest_only_share_matches_pairwise(rng, monkeypatch):
+    """The large-frame clip branch (share only the finest level, pair-mode
+    expansions at coarse levels) must also match pairwise calls — exercised
+    at CI scale by forcing the area gate to 0."""
+    import opticalflowcontainer_tpu.classical.farneback as fb
+
+    H, W = 96, 128
+    T = 3
+    base = rng.uniform(0, 255, (H + 16, W + 32)).astype(np.float32)
+    frames = np.stack(
+        [base[8 : 8 + H, 8 + 3 * t : 8 + 3 * t + W] for t in range(T)]
+    )
+    kw = dict(pyr_scale=0.5, levels=2, winsize=15, iterations=2,
+              poly_n=5, poly_sigma=1.2)
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "_on_tpu", lambda: True)
+    monkeypatch.setattr(fb, "CLIP_SHARE_ALL_MAX_PIXELS", 0)
+    fj = jnp.asarray(frames)
+    clip = np.asarray(fb.farneback_clip(fj, **kw))
+    pair = np.asarray(fb.farneback_batched(fj[:-1], fj[1:], **kw))
+    d = np.linalg.norm(clip - pair, axis=-1)
+    assert d.mean() < 1e-3 and d.max() < 0.02, (d.mean(), d.max())
