@@ -902,7 +902,14 @@ def farneback_clip(frames: jax.Array, **kwargs) -> jax.Array:
     expansion is computed once and shared between its next/prev roles
     (pairwise calls expand every interior frame twice)."""
     if (_on_tpu() and BLOCK_WARP and frames.ndim == 3
+            and frames.shape[0] >= 4
             and not (kwargs.get("flags", 0) & OPTFLOW_USE_INITIAL_FLOW)):
+        # frames.shape[0] >= 4: the shared-expansion program is an XLA
+        # fusion lottery per (batch, resolution) — T=5/batch-4 measures 3.07
+        # vs pair 3.19 ms/field at 720p, but T=3/batch-2 measures 46 ms/field
+        # (15x WORSE, reproducible interleaved); short clips take the
+        # pairwise path (batch-1 streaming via farneback_stream_step is
+        # separately measured good at 640x480: 2.12 ms/frame)
         T, H, W = frames.shape
         pyr_scale = kwargs.get("pyr_scale", 0.5)
         u, v = _blockwarp_flow(

@@ -256,7 +256,7 @@ def test_farneback_clip_finest_only_share_matches_pairwise(rng, monkeypatch):
     import opticalflowcontainer_tpu.classical.farneback as fb
 
     H, W = 96, 128
-    T = 3
+    T = 4  # >= 4 frames: shorter clips take the pairwise fallback
     base = rng.uniform(0, 255, (H + 16, W + 32)).astype(np.float32)
     frames = np.stack(
         [base[8 : 8 + H, 8 + 3 * t : 8 + 3 * t + W] for t in range(T)]
