@@ -901,6 +901,16 @@ def farneback_clip(frames: jax.Array, **kwargs) -> jax.Array:
     30-frame 720p clips).  On the TPU block-warp path each frame's polynomial
     expansion is computed once and shared between its next/prev roles
     (pairwise calls expand every interior frame twice)."""
+    # validate up front: the clip branch reads kwargs via .get and would
+    # otherwise silently ignore a typo that the pairwise fallback (which
+    # forwards **kwargs to calc_optical_flow_farneback) rejects
+    supported = {"pyr_scale", "levels", "winsize", "iterations", "poly_n",
+                 "poly_sigma", "flags"}
+    unknown = set(kwargs) - supported
+    if unknown:
+        raise TypeError(
+            f"farneback_clip got unexpected keyword(s) {sorted(unknown)}; "
+            f"supported: {sorted(supported)}")
     if (_on_tpu() and BLOCK_WARP and frames.ndim == 3
             and frames.shape[0] >= 4
             and not (kwargs.get("flags", 0) & OPTFLOW_USE_INITIAL_FLOW)):

@@ -138,3 +138,81 @@ def synthetic_eval_pairs(n: int = 8, H: int = 128, W: int = 160, seed: int = 0,
         g2 = np.repeat(f2[..., None], 3, -1) / 255.0
         out.append((g1.astype(np.float32), g2.astype(np.float32), gt, None))
     return out
+
+
+_FISHNET_PNG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "data", "fishnet_golden.png",
+)
+
+
+def fishnet_eval_pairs(n: int = 32, H: int = 480, W: int = 640, seed: int = 0,
+                       hard: bool = False, image_path: str | None = None):
+    """Deployment-domain eval pairs at the camera operating point: exact-GT
+    affine warps of the fishnet golden image (the reference's deployment
+    regime — fishnet inspection, reference junction_detector.cpp:31-214)
+    interleaved with three procedural textures, all at 640x480 (reference
+    camera default, lfn3_node.py:29-31).
+
+    Motion/illumination regimes match :func:`synthetic_eval_pairs`
+    (easy: <=4 px translation, +-2 deg; hard: <=16 px + gain/offset +
+    noise).  Returns [(img1 RGB f32 [0,1], img2, gt [H,W,2], valid=None)].
+    """
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    pad = 48 if hard else 32
+
+    sources = []
+    path = image_path or _FISHNET_PNG
+    if os.path.exists(path):
+        bgr = cv2.imread(path).astype(np.float32) / 255.0
+        rgb = bgr[..., ::-1]
+        # reflect-pad so the warp has plausible net content beyond the frame
+        sy = max(H + 2 * pad - rgb.shape[0], 0)
+        sx = max(W + 2 * pad - rgb.shape[1], 0)
+        rgb = cv2.copyMakeBorder(
+            rgb, (sy + 1) // 2, (sy + 1) // 2, (sx + 1) // 2, (sx + 1) // 2,
+            cv2.BORDER_REFLECT_101)
+        sources.append(np.ascontiguousarray(rgb, np.float32))
+    for sig in (2.0, 1.2, 3.0):  # three texture scales
+        base = cv2.GaussianBlur(
+            rng.uniform(0, 1, (H + 2 * pad, W + 2 * pad)).astype(np.float32),
+            (0, 0), sig)
+        base -= base.min()
+        base /= max(base.max(), 1e-6)
+        sources.append(np.repeat(base[..., None], 3, -1))
+
+    out = []
+    for i in range(n):
+        src = sources[i % len(sources)]
+        sh, sw = src.shape[:2]
+        oy = (sh - (H + 2 * pad)) // 2
+        ox = (sw - (W + 2 * pad)) // 2
+        base = src[oy : oy + H + 2 * pad, ox : ox + W + 2 * pad]
+        if hard:
+            ang = rng.uniform(-8, 8)
+            scale = rng.uniform(0.92, 1.1)
+            tx, ty = rng.uniform(-16, 16, 2)
+        else:
+            ang = rng.uniform(-2, 2)
+            scale = rng.uniform(0.98, 1.02)
+            tx, ty = rng.uniform(-4, 4, 2)
+        M = cv2.getRotationMatrix2D((W / 2 + pad, H / 2 + pad), ang, scale)
+        M[:, 2] += (tx, ty)
+        f1 = base[pad : pad + H, pad : pad + W]
+        f2 = cv2.warpAffine(base, M, (base.shape[1], base.shape[0]))[
+            pad : pad + H, pad : pad + W]
+        if hard:
+            gain = rng.uniform(0.6, 1.4)
+            offset = rng.uniform(-0.1, 0.1)
+            f2 = np.clip(f2 * gain + offset, 0, 1)
+            f1 = np.clip(f1 + rng.normal(0, 0.016, f1.shape), 0, 1)
+            f2 = np.clip(f2 + rng.normal(0, 0.016, f2.shape), 0, 1)
+        xs, ys = np.meshgrid(np.arange(W, dtype=np.float64) + pad,
+                             np.arange(H, dtype=np.float64) + pad)
+        x2 = M[0, 0] * xs + M[0, 1] * ys + M[0, 2]
+        y2 = M[1, 0] * xs + M[1, 1] * ys + M[1, 2]
+        gt = np.stack([x2 - xs, y2 - ys], axis=-1).astype(np.float32)
+        out.append((f1.astype(np.float32), f2.astype(np.float32), gt, None))
+    return out

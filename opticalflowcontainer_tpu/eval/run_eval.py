@@ -15,19 +15,25 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
     import numpy as np
 
     if name == "farneback":
-        import functools
-
         import jax
 
         from ..classical import calc_optical_flow_farneback
+        from ..core.color import rgb_to_gray
 
-        fn = jax.jit(functools.partial(calc_optical_flow_farneback))
+        def flow_fn(i1, i2):
+            # BT.601 luma, matching the runtime ingest path (core/color.py;
+            # eval images are RGB floats in [0, 1])
+            return calc_optical_flow_farneback(
+                rgb_to_gray(i1[..., :3]) * 255.0,
+                rgb_to_gray(i2[..., :3]) * 255.0)
+
+        fn = jax.jit(flow_fn)
 
         def run(img1, img2):
-            g1 = (img1[..., :3].mean(-1) * 255).astype(np.float32)
-            g2 = (img2[..., :3].mean(-1) * 255).astype(np.float32)
-            return np.asarray(fn(g1, g2))
+            return np.asarray(fn(img1.astype(np.float32),
+                                 img2.astype(np.float32)))
 
+        run.flow_fn = flow_fn
         return run
     if name in ("raft", "raft_large", "pwcnet", "neuflow",
                 "liteflownet", "liteflownet3"):
@@ -54,6 +60,8 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
                 return np.asarray(estimate(model, run.params, img1, img2,
                                            iters=4 if quick else 12))
 
+            run.flow_fn = lambda i1, i2: estimate(
+                model, run.params, i1, i2, iters=4 if quick else 12)
             return run
         if name == "neuflow":
             from ..models import NeuFlowLite
@@ -70,6 +78,8 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
                     )
                 return np.asarray(nf_estimate(model, run.params, img1, img2))
 
+            run.flow_fn = lambda i1, i2: nf_estimate(
+                model, run.params, i1, i2)
             return run
         if name == "pwcnet":
             from ..models import PWCNet
@@ -95,6 +105,8 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
                         run.params = model.init(jax.random.PRNGKey(0), img1, img2)
                 return np.asarray(pwc_estimate(model, run.params, img1, img2))
 
+            run.flow_fn = lambda i1, i2: pwc_estimate(
+                model, run.params, i1, i2)
             return run
         if name == "liteflownet3":
             from ..models import LiteFlowNet3
@@ -121,6 +133,8 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
                             jax.random.PRNGKey(0), img1, img2)
                 return np.asarray(lfn3_estimate(model, run.params, img1, img2))
 
+            run.flow_fn = lambda i1, i2: lfn3_estimate(
+                model, run.params, i1, i2)
             return run
         if name == "liteflownet":
             from ..models import LiteFlowNet
@@ -147,6 +161,8 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
                             jax.random.PRNGKey(0), img1, img2)
                 return np.asarray(lfn_estimate(model, run.params, img1, img2))
 
+            run.flow_fn = lambda i1, i2: lfn_estimate(
+                model, run.params, i1, i2)
             return run
     raise SystemExit(f"unknown method {name}")
 
@@ -161,6 +177,14 @@ def main(argv=None):
     ap.add_argument("--hard", action="store_true",
                     help="hard synthetic suite: large motion + illumination "
                          "change + noise (brightness-constancy breaker)")
+    ap.add_argument("--fishnet", action="store_true",
+                    help="deployment-domain suite: exact-GT affine warps of "
+                         "the fishnet golden image + procedural textures at "
+                         "640x480 (n defaults to 32; combine with --hard)")
+    ap.add_argument("--time-device", action="store_true",
+                    help="also measure pure device ms/frame per method at "
+                         "the eval operating point (in-jit scan chain — "
+                         "accuracy and latency at the SAME point)")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -172,7 +196,12 @@ def main(argv=None):
 
     import numpy as np
 
-    from .datasets import KittiFlowDataset, SintelDataset, synthetic_eval_pairs
+    from .datasets import (
+        KittiFlowDataset,
+        SintelDataset,
+        fishnet_eval_pairs,
+        synthetic_eval_pairs,
+    )
     from .epe import epe_stats, outlier_rate
 
     if args.sintel:
@@ -183,6 +212,10 @@ def main(argv=None):
         data = KittiFlowDataset(args.kitti)
         pairs = [data[i] for i in range(min(len(data), args.n))]
         src = "kitti"
+    elif args.fishnet:
+        n = args.n if args.n != 8 else 32
+        pairs = fishnet_eval_pairs(n, hard=args.hard)
+        src = "fishnet-hard" if args.hard else "fishnet"
     else:
         pairs = synthetic_eval_pairs(args.n, hard=args.hard)
         src = "synthetic-hard" if args.hard else "synthetic"
@@ -206,8 +239,44 @@ def main(argv=None):
         agg = {k: float(np.mean([s[k] for s in all_stats])) for k in all_stats[0]}
         agg.update(method=method, dataset=src, n=len(pairs),
                    sec_per_pair=t_total / len(pairs))
+        if args.time_device and hasattr(run, "flow_fn"):
+            agg["device_ms_per_frame"] = round(
+                _device_ms_per_frame(run.flow_fn, pairs[0][0], pairs[0][1],
+                                     reps=4 if args.quick else 24), 3)
         print(json.dumps(agg))
     return 0
+
+
+def _device_ms_per_frame(flow_fn, img1, img2, reps: int = 24) -> float:
+    """Pure device time of one flow call at the eval operating point: an
+    in-jit ``lax.scan`` chain (each rep's input depends on the previous
+    rep's output scalar, so XLA cannot hoist the body) with ONE host sync —
+    the honest-timing recipe for the axon tunnel (CLAUDE.md)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    i1 = jnp.asarray(img1, jnp.float32)
+    i2 = jnp.asarray(img2, jnp.float32)
+
+    def chain(a, b):
+        def body(c, _):
+            f = flow_fn(a + 0.0 * c, b)
+            return jnp.sum(f).astype(jnp.float32), None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        return s
+
+    fn = jax.jit(chain)
+    float(fn(i1, i2))  # compile
+    best = min(
+        (lambda t0: (float(fn(i1, i2)), time.perf_counter() - t0)[1])(
+            time.perf_counter())
+        for _ in range(3)
+    )
+    return best / reps * 1000.0
 
 
 if __name__ == "__main__":

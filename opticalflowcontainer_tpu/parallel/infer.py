@@ -35,6 +35,10 @@ def make_sharded_flow_fn(flow_fn: Callable, mesh: Mesh):
         mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=(P("data"), P()),
+        # check_vma=False: the TPU Farneback path contains a pallas_call,
+        # whose abstract eval carries no varying-mesh-axes info; the per-chip
+        # body is trivially correct under DP (purely local rows + one psum)
+        check_vma=False,
     )
     return jax.jit(shmapped)
 
@@ -42,7 +46,17 @@ def make_sharded_flow_fn(flow_fn: Callable, mesh: Mesh):
 def make_spatial_sharded_flow_fn(flow_fn: Callable, mesh: Mesh):
     """Big-frame variant: batch on 'data' AND image height on 'model' using
     jit sharding constraints (XLA SPMD inserts the conv/warp halo exchanges,
-    unlike shard_map which would need manual halos)."""
+    unlike shard_map which would need manual halos).
+
+    .. warning:: lax-path only.  The TPU Farneback hot path is a
+       ``pallas_call`` (classical/farneback.py BLOCK_WARP), which XLA SPMD
+       cannot partition spatially — under this wrapper it would force a
+       full all-gather of the frame onto every chip (or fail to lower).
+       Use :func:`make_sharded_flow_fn` (per-chip local batch rows via
+       shard_map — the Pallas kernel runs unpartitioned inside each shard,
+       proven by tests/test_parallel_infer.py) for the TPU Farneback path,
+       and keep spatial sharding for learned-model forwards whose ops are
+       all XLA-partitionable."""
     from jax.sharding import NamedSharding
 
     img_s = NamedSharding(mesh, P("data", "model"))

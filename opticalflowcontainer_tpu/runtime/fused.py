@@ -90,6 +90,7 @@ class FusedFarnebackStream:
         self.fb_kwargs = tuple(sorted(fb_kwargs.items()))
         self._state = None  # prev gray (lax path) or prev planes (block path)
         self._planes_mode = _planes_mode()
+        self._planes_active = self._planes_mode
 
     def reset(self):
         self._state = None
@@ -107,17 +108,21 @@ class FusedFarnebackStream:
         if self._state is None:
             f = frame.astype(jnp.float32)
             gray = bgr_to_gray(f) if f.ndim == 3 else f
-            if (gray.shape[-2] * gray.shape[-1]
-                    > _fb.CLIP_SHARE_ALL_MAX_PIXELS):
-                # the planes state shares every pyramid level; above the
-                # measured gate that slice/fusion combination regresses
-                # (classical/farneback.py) — carry the gray instead
-                self._planes_mode = False
+            # decided per stream start (reset() + a new first frame
+            # re-evaluates — the gate must not latch across resolution
+            # changes): the planes state shares every pyramid level; above
+            # the measured gate that slice/fusion combination regresses
+            # (classical/farneback.py) — carry the gray instead
+            self._planes_active = (
+                self._planes_mode
+                and gray.shape[-2] * gray.shape[-1]
+                <= _fb.CLIP_SHARE_ALL_MAX_PIXELS
+            )
             self._state = (_stream_planes(gray, self.fb_kwargs)
-                           if self._planes_mode else gray)
+                           if self._planes_active else gray)
             return None
         m = jnp.zeros((), bool) if mask is None else jnp.asarray(mask, bool)
-        step_fn = _fused_step_planes if self._planes_mode else _fused_step
+        step_fn = _fused_step_planes if self._planes_active else _fused_step
         self._state, du = step_fn(
             self._state, frame, m, self.aggregate, mask is not None,
             self.fb_kwargs,

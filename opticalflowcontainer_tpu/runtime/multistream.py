@@ -22,21 +22,33 @@ from .velocity import VelocityEstimator
 
 
 class _StreamSlot:
+    """Latest-pair slot.  Under load the batcher may not take a pair before
+    the next push overwrites it; ``take`` therefore also reports whether any
+    pair was dropped since the last take, so stateful backends (whose device
+    state holds the planes of the last *processed* frame) can reseed from the
+    pair's actual prev frame instead of silently warping across the dropped
+    interval (flow over a multi-frame gap divided by a single-pair dt)."""
+
     def __init__(self):
         self.lock = threading.Lock()
         self.prev: tuple[np.ndarray, float] | None = None
         self.pair: tuple[np.ndarray, np.ndarray, float, float] | None = None
+        self._dropped = False
 
     def push(self, gray: np.ndarray, stamp: float):
         with self.lock:
             if self.prev is not None:
+                if self.pair is not None:
+                    self._dropped = True  # untaken pair overwritten
                 self.pair = (self.prev[0], gray, self.prev[1], stamp)
             self.prev = (gray, stamp)
 
     def take(self):
+        """Returns (pair, dropped_since_last_take) or None."""
         with self.lock:
             pair, self.pair = self.pair, None
-            return pair
+            dropped, self._dropped = self._dropped, False
+            return None if pair is None else (pair, dropped)
 
 
 class MultiStreamFlow:
@@ -87,22 +99,25 @@ class MultiStreamFlow:
 
     def _run(self):
         while not self._stop.is_set():
-            ready = [(i, p) for i, p in
-                     ((i, s.take()) for i, s in enumerate(self.slots)) if p]
+            ready = [(i, p, d) for i, (p, d) in
+                     ((i, t) for i, t in
+                      ((i, s.take()) for i, s in enumerate(self.slots))
+                      if t is not None)]
             if not ready:
                 time.sleep(0.001)
                 continue
-            idxs = [i for i, _ in ready]
-            prev = np.stack([p[0] for _, p in ready])
-            cur = np.stack([p[1] for _, p in ready])
+            idxs = [i for i, _, _ in ready]
+            prev = np.stack([p[0] for _, p, _ in ready])
+            cur = np.stack([p[1] for _, p, _ in ready])
+            dropped = [d for _, _, d in ready]
             fused = getattr(self.backend, "returns_displacement", False)
             if getattr(self.backend, "stateful", False):
-                out = np.asarray(self.backend(prev, cur, idxs))
+                out = np.asarray(self.backend(prev, cur, idxs, dropped))
             else:
                 out = np.asarray(self.backend(prev, cur))
             self.batches += 1
             self.fields += len(idxs)
-            for k, (i, (_, _, t0, t1)) in enumerate(ready):
+            for k, (i, (_, _, t0, t1), _) in enumerate(ready):
                 dt = t1 - t0
                 if fused:
                     # device-aggregated [N] pixel displacements — only N
@@ -189,8 +204,12 @@ def make_stateful_batched_fused_farneback(n_streams: int,
     ``idxs`` are the stream indices of the batch rows; the batch is padded
     to a fixed ``n_streams + 1`` rows with pad rows targeting a scratch
     state slot (one compile, no state pollution).  Streams are lazily
-    seeded from ``prev`` on their first batch.  Returns [n] pixel
-    displacements.  Off the TPU block-warp path, fall back to
+    seeded from ``prev`` on their first batch.  The optional ``dropped``
+    flags mark rows whose slot overwrote an untaken pair since the last
+    take — those rows' stored planes belong to an older frame than the
+    pair's prev, so they are reseeded from the given ``prev`` (otherwise
+    flow spans a multi-frame gap while dt is single-pair).  Returns [n]
+    pixel displacements.  Off the TPU block-warp path, fall back to
     :func:`make_batched_fused_farneback`."""
     import jax
     import jax.numpy as jnp
@@ -228,7 +247,7 @@ def make_stateful_batched_fused_farneback(n_streams: int,
 
     fallback = None
 
-    def backend(prev, cur, idxs):
+    def backend(prev, cur, idxs, dropped=None):
         nonlocal state, fallback
         if fallback is None and (cur.shape[-2] * cur.shape[-1]
                                  > fb.CLIP_SHARE_ALL_MAX_PIXELS):
@@ -253,6 +272,10 @@ def make_stateful_batched_fused_farneback(n_streams: int,
                     jnp.asarray(prev_p[:1]), **kwargs)
             )
         fresh = ~stream_seeded[idx]
+        if dropped is not None:
+            # non-contiguous rows: stored planes predate this pair's prev —
+            # recompute the prev expansion (seed path) for those rows
+            fresh[:n] |= np.asarray(dropped, bool)
         if fresh[:n].any():
             state, du = seed_step(state, jnp.asarray(prev_p),
                                   jnp.asarray(cur_p), idx,

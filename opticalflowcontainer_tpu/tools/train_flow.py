@@ -132,6 +132,14 @@ def main(argv=None):
                          "first 60%% of steps — helps direct-regression "
                          "decoders (PWC) escape the predict-zero basin where "
                          "large-displacement warps destroy the corr signal")
+    ap.add_argument("--distill", default=None,
+                    choices=("raft_large", "raft_small"),
+                    help="teacher distillation: supervise on the packaged "
+                         "teacher's predicted flow instead of GT (the "
+                         "standard fix for direct-regression pyramids that "
+                         "plateau from scratch — teacher fields are "
+                         "smoother/achievable regression targets); "
+                         "fine-tune on GT afterwards with --resume")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -249,8 +257,25 @@ def main(argv=None):
             params = optax.apply_updates(s.params, updates)
             return TrainState(params, opt_state, s.step + 1), loss
 
+    teacher_fn = None
+    if args.distill:
+        from ..models.raft import load_raft_small_synth, load_raft_synth
+
+        t_model, t_params = (load_raft_synth() if args.distill == "raft_large"
+                             else load_raft_small_synth())
+        teacher_fn = jax.jit(lambda i1, i2: jax.vmap(
+            lambda a, b: t_model.apply(t_params, a, b, 12)[-1])(i1, i2))
+        print(f"distilling from {args.distill} teacher")
+
     if args.resume and os.path.exists(out):
-        params = loader()[1]
+        # resume from the --out npz itself (the packaged loader() reads the
+        # packaged path, which differs when --out points elsewhere, e.g. a
+        # distillation scratch npz)
+        from flax.traverse_util import unflatten_dict
+
+        data = np.load(out)
+        params = {"params": unflatten_dict(
+            {tuple(k.split("/")): data[k] for k in data.files})}
         print(f"resumed params from {out}")
     else:
         params = init(jax.random.PRNGKey(args.seed))
@@ -274,6 +299,8 @@ def main(argv=None):
         batch = make_affine_batch(rng, args.batch, args.height, args.width,
                                   **mkw)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if teacher_fn is not None:
+            batch["flow"] = teacher_fn(batch["img1"], batch["img2"])
         state, loss = step_fn(state, batch)
         if step % args.log_every == 0 or step == 1:
             loss = float(loss)  # sync

@@ -162,3 +162,57 @@ def test_multistream_stateful_matches_stateless(monkeypatch):
     want = ref(frames[2][idxs], frames[3][idxs])
     got = st(frames[2][idxs], frames[3][idxs], idxs)
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_multistream_stateful_reseeds_after_drop(monkeypatch):
+    """Under load _StreamSlot overwrites untaken pairs; the stateful backend's
+    stored planes then belong to an older frame than the delivered pair's
+    prev.  Dropped rows must be reseeded from the pair's actual prev frame so
+    the flow matches the stateless backend on that exact pair (not flow over
+    the multi-frame gap)."""
+    import opticalflowcontainer_tpu.classical.farneback as fb
+    from opticalflowcontainer_tpu.runtime.multistream import (
+        _StreamSlot,
+        make_batched_fused_farneback,
+        make_stateful_batched_fused_farneback,
+    )
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "_on_tpu", lambda: True)
+
+    rng = np.random.default_rng(5)
+    kw = dict(levels=1, winsize=11, iterations=1)
+    # frames drift so that flow(f0->f3) differs measurably from flow(f2->f3)
+    base = rng.uniform(0, 255, (96, 128 + 12)).astype(np.float32)
+    frames = [np.ascontiguousarray(base[:, 3 * t : 3 * t + 128])
+              for t in range(4)]
+
+    # slot semantics: pushes 0..3 with takes only after 1 and 3
+    slot = _StreamSlot()
+    slot.push(frames[0], 0.0)
+    slot.push(frames[1], 1.0)
+    (pair, dropped) = slot.take()
+    assert not dropped and pair[1] is frames[1]
+    slot.push(frames[2], 2.0)  # pair (1,2) lands
+    slot.push(frames[3], 3.0)  # overwrites untaken (1,2) -> dropped
+    (pair, dropped) = slot.take()
+    assert dropped and pair[0] is frames[2] and pair[1] is frames[3]
+    # after a take the flag clears
+    slot.push(frames[0], 4.0)
+    (pair, dropped) = slot.take()
+    assert not dropped and pair[0] is frames[3] and pair[1] is frames[0]
+
+    # backend semantics: process (f0,f1), then deliver (f2,f3) flagged
+    # dropped — result must equal the stateless backend on (f2,f3)
+    ref = make_batched_fused_farneback(1, **kw)
+    st = make_stateful_batched_fused_farneback(1, **kw)
+    st(frames[0][None], frames[1][None], [0])
+    want = ref(frames[2][None], frames[3][None])
+    got = st(frames[2][None], frames[3][None], [0], dropped=[True])
+    np.testing.assert_allclose(got, want, atol=5e-3)
+    # sanity: WITHOUT the flag the stale-planes path gives a different
+    # answer (the bug this guards against)
+    st2 = make_stateful_batched_fused_farneback(1, **kw)
+    st2(frames[0][None], frames[1][None], [0])
+    stale = st2(frames[2][None], frames[3][None], [0], dropped=[False])
+    assert abs(float(stale[0]) - float(want[0])) > 1e-3
