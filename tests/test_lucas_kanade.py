@@ -61,3 +61,32 @@ def test_status_kills_offimage_points(rng):
     res = calc_optical_flow_pyr_lk(f1.astype(np.float32), f2.astype(np.float32), pts)
     st = np.asarray(res.status)
     assert st[0] == 0 and st[1] == 1
+
+
+def test_packed_gather_matches_element_gather(rng, monkeypatch):
+    """The TPU fat-row-unfold gather (one row gather per (point, window-row);
+    border semantics baked into reflect101/zeros padding) must reproduce the
+    per-tap element-gather path, including the cv2 parity bar."""
+    import opticalflowcontainer_tpu.classical.lucas_kanade as lk
+
+    f1, f2 = _pair(rng)
+    pts = cv2.goodFeaturesToTrack(f1, 300, 0.01, 8).reshape(-1, 2)
+    # a few deliberately near/over the edge
+    pts = np.concatenate([pts, np.float32([[2.0, 2.0], [317.0, 3.0],
+                                           [1.5, 237.0], [316.5, 238.0]])])
+    base = calc_optical_flow_pyr_lk(
+        f1.astype(np.float32), f2.astype(np.float32), pts)
+
+    monkeypatch.setattr(lk, "_use_packed_gather", lambda: True)
+    lk._pyr_lk_full.clear_cache()
+    packed = calc_optical_flow_pyr_lk(
+        f1.astype(np.float32), f2.astype(np.float32), pts)
+    lk._pyr_lk_full.clear_cache()
+
+    both = (np.asarray(base.status) == 1) & (np.asarray(packed.status) == 1)
+    assert both.sum() >= 0.9 * len(pts)
+    d = np.abs(np.asarray(base.pts)[both] - np.asarray(packed.pts)[both])
+    assert d.max() < 0.05, d.max()
+    # status agreement for all but border-clamp corner cases
+    agree = (np.asarray(base.status) == np.asarray(packed.status)).mean()
+    assert agree > 0.98, agree
