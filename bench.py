@@ -250,7 +250,9 @@ def main(argv=None):
 
         def stream_fn(x):
             def body(c, _):
-                return (x + c).sum() * 1e-12, None
+                # jnp.maximum, not sum(x + c): XLA constant-folds linear
+                # reductions (sum(x+c) = sum(x) + N*c reads nothing)
+                return jnp.maximum(x, c).sum() * 1e-12, None
             s, _ = jax.lax.scan(body, jnp.float32(0), None, length=ceil_reps)
             return s
 
@@ -410,18 +412,21 @@ def main(argv=None):
         fb = dict(levels=3, winsize=15, iterations=3)
         # reference camera operating point: 640x480 @ 30 fps (reference
         # lfn3_node.py:29-31; 28 Hz observed, opticalflow_node.py:35).
-        # sync_every=2 micro-batches the host syncs: through the axon tunnel
-        # a sync costs ~50-90 ms RTT regardless of payload while the fused
-        # device program is ~2 ms — semantically equivalent to the
-        # reference's 5-deque smoothing (one velocity pair lands every 2
-        # camera periods).
+        # sync_every=2 micro-batches the host syncs (semantically equivalent
+        # to the reference's 5-deque smoothing) and drain_async moves them
+        # to a drainer thread (the reference's capture/inference thread
+        # shape): through the axon tunnel one sync costs ~50-90 ms RTT —
+        # longer than the 33 ms camera period — while the fused device
+        # program is ~2 ms, so syncs must overlap dispatch to hold 30.
         lat = measure_stream_latency(height=480, width=640, fps=30.0,
-                                     n_frames=n, sync_every=2, **fb)
+                                     n_frames=n, sync_every=2,
+                                     drain_async=True, **fb)
         if not lat["held_rate"]:
             # the axon tunnel has multi-second RTT spikes under load; one
             # retry distinguishes a transient spike from a real rate miss
             lat2 = measure_stream_latency(height=480, width=640, fps=30.0,
-                                          n_frames=n, sync_every=2, **fb)
+                                          n_frames=n, sync_every=2,
+                                          drain_async=True, **fb)
             if lat2["sustained_fps"] > lat["sustained_fps"]:
                 lat = lat2
         dev_ms = measure_device_stream_ms(height=480, width=640,
@@ -465,11 +470,13 @@ def main(argv=None):
             n = 24 if args.quick else 120
             lat3 = measure_stream_latency(height=480, width=640, fps=30.0,
                                           n_frames=n, sync_every=2,
-                                          stream=stream)
+                                          drain_async=True, stream=stream)
             if not lat3["held_rate"] and not args.quick:
                 lat3b = measure_stream_latency(height=480, width=640,
                                                fps=30.0, n_frames=n,
-                                               sync_every=2, stream=stream)
+                                               sync_every=2,
+                                               drain_async=True,
+                                               stream=stream)
                 if lat3b["sustained_fps"] > lat3["sustained_fps"]:
                     lat3 = lat3b
 

@@ -92,6 +92,18 @@ BLOCK_WARP_PHASES = 2  # 64-lane-shifted source copies: narrower patches
 # offsets 1..2*slack+1 each relayout (same lesson as solve2x2).
 BLOCK_WARP_SELECT = "roll"
 BLOCK_WARP_FUSE = True  # fuse the normal-equation epilogue into the kernel
+# Clip-mode phase-emitting poly + in-kernel R0 DMA (no R0 slice, no phase
+# stack): "all" = every shared level, "finest" = k==0 only, "off" = never.
+# Isolated probes (poly emission, update kernel) measure neutral, but the
+# COMPOSED pipeline is an XLA fusion lottery — gated per measurement:
+# interleaved 720p T=5 A/B (2026-08-18): off 3.10, finest 2.98, all 13.15
+# ms/field — the coarse-level composition blows up 4x (same class as the
+# round-2 1080p coarse-slice blowup); finest-only is the win.
+BLOCK_WARP_R0SRC = "finest"
+# Storage dtype of the poly expansion's [rows_p, W] t-intermediates (the
+# vertical-pass outputs re-read by every horizontal matmul, ~100 MB/field
+# f32 at 720p clip): None = f32.  bf16 measured on-device before flipping.
+POLY_T_DTYPE = None
 # Pallas fused blur+2x2-solve (ops/solve2x2.py): measured SLOWER than the
 # XLA banded-matmul solve at 720p B=8 in both forms — v1 shifted-slice taps
 # (131 vs 158 fields/s: unaligned lane slices relayout per tap) and v2
@@ -362,49 +374,88 @@ def _poly_direct_matrices(H: int, W: int, lh: int, lw: int, smooth_sz: int,
         return np.ascontiguousarray((Hk @ Ch).astype(np.float32))
 
     Hg_, Hxg_, Hxxg_ = hmat(g), hmat(xg), hmat(xxg)
+    hmats = (
+        np.float32(ig11) * Hxg_,                       # bx  <- tg
+        np.float32(ig11) * Hg_,                        # by  <- txg
+        np.float32(ig03) * Hg_ + np.float32(ig33) * Hxxg_,  # axx <- tg
+        Hg_,                                           # ayy <- ig03*tg+ig33*txxg
+        np.float32(ig55) * Hxg_,                       # qxy <- txg
+    )
     return (
         (vmat(g), vmat(xg), vmat(xxg)),
-        (
-            np.float32(ig11) * Hxg_,                       # bx  <- tg
-            np.float32(ig11) * Hg_,                        # by  <- txg
-            np.float32(ig03) * Hg_ + np.float32(ig33) * Hxxg_,  # axx <- tg
-            Hg_,                                           # ayy <- ig03*tg+ig33*txxg
-            np.float32(ig55) * Hxg_,                       # qxy <- txg
-        ),
+        hmats,
         (float(ig03), float(ig33)),
     )
 
 
-def _poly_planes_direct(img: jax.Array, mats, out_dtype=None) -> jax.Array:
+def _shift_rows(M: np.ndarray, k: int) -> np.ndarray:
+    """Rows shifted toward 0 by ``k`` with zero-fill at the tail: the
+    horizontal poly operator of the warp kernel's phase-``p`` source copy
+    (copy_p[..., l] = src[..., l + p*shift]; the kernel never reads the
+    wrapped tail, so zero-fill — which keeps the operator banded for
+    ``as_operator`` — is exact where it is read)."""
+    out = np.zeros_like(M)
+    if k < M.shape[0]:
+        out[: M.shape[0] - k] = M[k:]
+    return np.ascontiguousarray(out)
+
+
+def _poly_planes_direct(img: jax.Array, mats, out_dtype=None,
+                        phases: int | None = None,
+                        phase_shift: int = 64) -> jax.Array:
     """[..., H, W] full-res image -> plane-major expansion planes
     [..., 5, rows_out+2*pad_y, cols_out+2*pad_x] at the pyramid level baked
     into ``mats`` (see :func:`_poly_direct_matrices`).  All matmuls run at
-    ``POLY_PRECISION`` (fp32 accumulation either way)."""
-    (Vg, Vxg, Vxxg), (Hbx, Hby, Haxx, Hayy, Hqxy), (ig03, ig33) = mats
+    ``POLY_PRECISION`` (fp32 accumulation either way).
+
+    ``phases=p`` emits the warp kernel's lane-shifted source copies
+    DIRECTLY from the horizontal matmuls (row-shifted operators), returning
+    [p, ..., 5, rows, cols] — the copies never round-trip through an HBM
+    stack (vs emit-then-``jnp.stack([src, roll(src)])``, which re-reads and
+    re-writes every plane).  Exact: same matmul, shifted operator rows."""
+    (Vg, Vxg, Vxxg), hmats, (ig03, ig33) = mats
     mm = functools.partial(jnp.einsum, precision=POLY_PRECISION,
                            preferred_element_type=jnp.float32)
     Vg, Vxg, Vxxg = as_operator(Vg), as_operator(Vxg), as_operator(Vxxg)
-    tg = mm("oh,...hw->...ow", Vg, img)
-    txg = mm("oh,...hw->...ow", Vxg, img)
-    txxg = mm("oh,...hw->...ow", Vxxg, img)
-    t_ayy = ig03 * tg + ig33 * txxg
-    bx = mm("...hw,pw->...hp", tg, as_operator(Hbx))
-    by = mm("...hw,pw->...hp", txg, as_operator(Hby))
-    axx = mm("...hw,pw->...hp", tg, as_operator(Haxx))
-    ayy = mm("...hw,pw->...hp", t_ayy, as_operator(Hayy))
-    qxy = mm("...hw,pw->...hp", txg, as_operator(Hqxy))
-    R = jnp.stack([bx, by, axx, ayy, qxy], axis=-3)
-    return R.astype(out_dtype) if out_dtype is not None else R
+    # t intermediates are [rows_p, W_full] arrays materialized in HBM between
+    # the vertical and horizontal passes (too big to stay in VMEM); POLY_T
+    # DTYPE=bf16 halves that traffic (the output planes are already bf16 on
+    # the TPU path, so the added quantization is the same error class the
+    # pipeline already accepts — device EPE guard covers the 0.1 px bar)
+    tdt = POLY_T_DTYPE or jnp.float32
+    tg = mm("oh,...hw->...ow", Vg, img).astype(tdt)
+    txg = mm("oh,...hw->...ow", Vxg, img).astype(tdt)
+    txxg = mm("oh,...hw->...ow", Vxxg, img).astype(tdt)
+    t_ayy = (ig03 * tg.astype(jnp.float32)
+             + ig33 * txxg.astype(jnp.float32)).astype(tdt)
+    t_in = (tg, txg, tg, t_ayy, txg)  # per-plane horizontal-matmul inputs
+
+    def emit(hs):
+        planes = [mm("...hw,pw->...hp", t, as_operator(Hk))
+                  for t, Hk in zip(t_in, hs)]
+        R = jnp.stack(planes, axis=-3)
+        return R.astype(out_dtype) if out_dtype is not None else R
+
+    if phases is None:
+        return emit(hmats)
+    return jnp.stack([
+        emit(tuple(_shift_rows(Hk, p * phase_shift) for Hk in hmats))
+        for p in range(phases)
+    ])
 
 
-def _update_matrices_planes(R0p: jax.Array, R1pad: jax.Array,
+def _update_matrices_planes(R0p: jax.Array | None, R1pad: jax.Array,
                             u: jax.Array, v: jax.Array,
-                            img_hw: tuple[int, int]) -> jax.Array:
+                            img_hw: tuple[int, int],
+                            src_prestacked: bool = False,
+                            r0_from_src: bool = False,
+                            clip_shift: bool = False) -> jax.Array:
     """Plane-major normal equations [B, 5, H, W] using the block-patch warp
     kernel for the R1 sampling (semantics identical to _update_matrices; the
     inb/border logic is recomputed exactly here).  ``R0p`` is frame-0's
-    expansion replicate-extended to the warp block grid; ``img_hw`` is the
-    real level size."""
+    expansion replicate-extended to the warp block grid (or None with
+    ``r0_from_src`` — clip mode, R0 blocks DMA'd straight from the shared
+    phase stack); ``img_hw`` is the real level size."""
     from ..ops.blockwarp import (
         block_warp_bilinear,
         block_warp_farneback_update,
@@ -412,20 +463,26 @@ def _update_matrices_planes(R0p: jax.Array, R1pad: jax.Array,
 
     H, W = img_hw
     B = u.shape[0]
-    H16, W16 = R0p.shape[-2], R0p.shape[-1]
 
-    up = jnp.pad(u, ((0, 0), (0, H16 - H), (0, W16 - W)), mode="edge")
-    vp = jnp.pad(v, ((0, 0), (0, H16 - H), (0, W16 - W)), mode="edge")
     if BLOCK_WARP_FUSE:
+        H16, W16 = (R1pad.shape[-2] - 2 * BLOCK_WARP_PAD[0],
+                    R1pad.shape[-1] - 2 * BLOCK_WARP_PAD[1])
+        up = jnp.pad(u, ((0, 0), (0, H16 - H), (0, W16 - W)), mode="edge")
+        vp = jnp.pad(v, ((0, 0), (0, H16 - H), (0, W16 - W)), mode="edge")
         M = block_warp_farneback_update(
             R0p, R1pad, up, vp, img_hw=img_hw, ramp=tuple(_BORDER_RAMP),
             block=BLOCK_WARP_BLOCK, slack=BLOCK_WARP_SLACK,
             pad=BLOCK_WARP_PAD, compute_dtype=BLOCK_WARP_DTYPE,
             interpret=BLOCK_WARP_INTERPRET, realign=BLOCK_WARP_REALIGN,
             phases=BLOCK_WARP_PHASES, out_dtype=SOLVE_DTYPE,
-            select=BLOCK_WARP_SELECT,
+            select=BLOCK_WARP_SELECT, src_prestacked=src_prestacked,
+            r0_from_src=r0_from_src, clip_shift=clip_shift,
         )
         return M[..., :H, :W]
+    assert not (src_prestacked or r0_from_src or clip_shift)
+    H16, W16 = R0p.shape[-2], R0p.shape[-1]
+    up = jnp.pad(u, ((0, 0), (0, H16 - H), (0, W16 - W)), mode="edge")
+    vp = jnp.pad(v, ((0, 0), (0, H16 - H), (0, W16 - W)), mode="edge")
 
     R0 = R0p[..., :H, :W]
     R1s = block_warp_bilinear(
@@ -682,7 +739,26 @@ def _blockwarp_flow(prev_b, next_b, H, W, n_levels, pyr_scale, winsize,
         mats1 = _poly_direct_matrices(
             H, W, lh, lw, smooth_sz, float(sigma), poly_n,
             float(poly_sigma), pad_y, pad_x, rows_out, cols_out)
-        if clip and (k == 0 or H * W <= CLIP_SHARE_ALL_MAX_PIXELS):
+        share_level = clip and (k == 0 or H * W <= CLIP_SHARE_ALL_MAX_PIXELS)
+        r0src_level = (BLOCK_WARP_R0SRC == "all"
+                       or (BLOCK_WARP_R0SRC == "finest" and k == 0))
+        if (share_level and r0src_level and BLOCK_WARP_FUSE
+                and BLOCK_WARP_PHASES == 2
+                and pad_y % 8 == 0 and (pad_x - 64) % 128 == 0):
+            # shared expansions, phase copies emitted straight from the poly
+            # matmuls, R0 blocks DMA'd in-kernel from phase copy 1 — no
+            # phase-stack round-trip and no R0 slice (the round-2 fusion
+            # lottery is structurally gone: there is no slice to fuse)
+            Rall2 = _poly_planes_direct(frames_b, mats1,
+                                        out_dtype=BLOCK_WARP_DTYPE,
+                                        phases=BLOCK_WARP_PHASES)
+            for _ in range(iterations):
+                M = _update_matrices_planes(None, Rall2, u, v, (lh, lw),
+                                            src_prestacked=True,
+                                            r0_from_src=True, clip_shift=True)
+                u, v = _solve_flow_planes(M, winsize, use_gauss)
+            continue
+        if share_level:
             # Shared expansion: the frame's R0 role is the core slice of the
             # padded planes.  The slice's cost is an XLA fusion/layout
             # lottery (the offset-192 lane slice crosses (8,128) tiles):
@@ -701,6 +777,11 @@ def _blockwarp_flow(prev_b, next_b, H, W, n_levels, pyr_scale, winsize,
                 Rall, (0, 0, pad_y, pad_x),
                 (batch_n, 5, pad_y + rows_out, pad_x + cols_out))
             R1p = Rall[1:]
+            for _ in range(iterations):
+                # round-2 form: the wrapper stacks the phase copies itself
+                M = _update_matrices_planes(R0, R1p, u, v, (lh, lw))
+                u, v = _solve_flow_planes(M, winsize, use_gauss)
+            continue
         elif clip:
             # large-frame coarse levels: pair-mode expansions (duplicate
             # poly work is cheap at 2x+ downsampled sizes)
@@ -709,17 +790,20 @@ def _blockwarp_flow(prev_b, next_b, H, W, n_levels, pyr_scale, winsize,
                 float(poly_sigma), 0, 0, rows_out, cols_out)
             R0 = _poly_planes_direct(frames_b[:-1], mats0,
                                      out_dtype=R0_DTYPE)
-            R1p = _poly_planes_direct(frames_b[1:], mats1,
-                                      out_dtype=BLOCK_WARP_DTYPE)
+            R1p = _poly_planes_direct(
+                frames_b[1:], mats1, out_dtype=BLOCK_WARP_DTYPE,
+                phases=BLOCK_WARP_PHASES if BLOCK_WARP_FUSE else None)
         else:
             mats0 = _poly_direct_matrices(
                 H, W, lh, lw, smooth_sz, float(sigma), poly_n,
                 float(poly_sigma), 0, 0, rows_out, cols_out)
             R0 = _poly_planes_direct(prev_b, mats0, out_dtype=R0_DTYPE)
-            R1p = _poly_planes_direct(next_b, mats1,
-                                      out_dtype=BLOCK_WARP_DTYPE)
+            R1p = _poly_planes_direct(
+                next_b, mats1, out_dtype=BLOCK_WARP_DTYPE,
+                phases=BLOCK_WARP_PHASES if BLOCK_WARP_FUSE else None)
         for _ in range(iterations):
-            M = _update_matrices_planes(R0, R1p, u, v, (lh, lw))
+            M = _update_matrices_planes(R0, R1p, u, v, (lh, lw),
+                                        src_prestacked=BLOCK_WARP_FUSE)
             u, v = _solve_flow_planes(M, winsize, use_gauss)
     return u, v
 
@@ -933,21 +1017,28 @@ def farneback_bytes_per_field(H: int, W: int, levels: int = 3,
         padded = rows_p * cols_p
         shared = share_all or (T is not None and k == 0)
         exp = exp_per_field_shared if shared else 2.0
+        r0src = (shared and (BLOCK_WARP_R0SRC == "all"
+                             or (BLOCK_WARP_R0SRC == "finest" and k == 0)))
 
-        # poly-direct expansion (8 banded matmuls, full-res image in):
+        # poly-direct expansion (8+ banded matmuls, full-res image in):
         # 3 vertical-pass reads of the image, 3 t-intermediate writes +
-        # 6 reads ([rows_p, W] f32), 5 padded bf16 planes out
+        # 6 reads ([rows_p, W] f32), plus the warp kernel's phase copies:
+        # on r0src levels emitted DIRECTLY by row-shifted horizontal
+        # operators (BLOCK_WARP_PHASES x 5 padded bf16 planes out, no stack
+        # round-trip, and R0 blocks are DMA'd from phase copy 1 in-kernel —
+        # no R0 slice materializes); other levels emit 5 planes then the
+        # wrapper stacks the phase copies (1 read + PHASES writes) and clip
+        # shared levels materialize the R0 core slice
         poly = (3 * H * W * f32
                 + 9 * rows_p * W * f32
-                + 5 * padded * bf16)
-        # phase-copy stack for the warp kernel's R1 source (read the planes,
-        # write BLOCK_WARP_PHASES copies) — one R1 role per field
-        phases = (5 * padded * bf16) * (1 + BLOCK_WARP_PHASES)
-        # R0 materialization: clip mode slices the shared padded planes into
-        # a real array (pallas input); pair mode's R0 is its own expansion
-        # (already counted via exp = 2)
-        r0_mat = 5 * core * bf16 if shared else 0.0
-        total += exp * poly + phases + r0_mat
+                + BLOCK_WARP_PHASES * 5 * padded * bf16)
+        if not r0src:
+            # emit write (5*padded) + stack read (5*padded) on top of the
+            # PHASES stack writes already counted above
+            poly += 2 * 5 * padded * bf16
+            if shared:
+                poly += 5 * core * bf16  # R0 slice materialization
+        total += exp * poly
 
         nblocks = (rows_out // bh) * (cols_out // bwd)
         patch = nblocks * 5 * ph * pw * bf16

@@ -117,7 +117,8 @@ def _roll_lanes(f, shift, use_pltpu):
 
 def _warp_block_core(x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem,
                      *, bh, bw, ph, pw, slack, pad_y, pad_x, nby, nbx,
-                     nb_total, realign, interpret, phases, select="slice"):
+                     nb_total, realign, interpret, phases, select="slice",
+                     r1_off=0):
     """Shared kernel body: patch DMA pipeline + realign + bilinear selection.
     Returns (acc, u, v, xf, yf, il, jl, i, j) so epilogue variants can fuse
     further per-pixel math without a second pass over HBM."""
@@ -141,8 +142,10 @@ def _warp_block_core(x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem,
         # 128-aligned DMA origin only misses the true origin by < qx_unit
         phx = (xx // qx_unit) % phases
         xq = pl.multiple_of(((xx - phx * qx_unit) // 128) * 128, 128)
+        # r1_off: clip mode packs T frames in src; batch row b's R1 source
+        # is frame b + 1 (its R0 is frame b, read by the fused epilogue)
         return pltpu.make_async_copy(
-            src_ref.at[phx, bb, :, pl.ds(yq, ph), pl.ds(xq, pw)],
+            src_ref.at[phx, bb + r1_off, :, pl.ds(yq, ph), pl.ds(xq, pw)],
             patch.at[sl], sem.at[sl],
         )
 
@@ -292,11 +295,69 @@ def _kernel_farneback_update(x0_ref, y0_ref, src_ref, u_ref, v_ref, r0_ref,
     acc, u, v, xf, yf, il, jl, i, j = _warp_block_core(
         x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem, **kw)
     pad_y, pad_x, bh, bw = kw["pad_y"], kw["pad_x"], kw["bh"], kw["bw"]
+    R0v = r0_ref[0].astype(jnp.float32)  # [5, bh, bw]
+    _farneback_epilogue(acc, u, v, xf, yf, il, jl, i, j, R0v, out_ref,
+                        img_h=img_h, img_w=img_w, ramp=ramp,
+                        pad_y=pad_y, pad_x=pad_x, bh=bh, bw=bw)
+
+
+def _kernel_farneback_update_r0src(x0_ref, y0_ref, src_ref, u_ref, v_ref,
+                                   out_ref, patch, sem, r0_scr, r0_sem,
+                                   *, img_h, img_w, ramp, **kw):
+    """Fused update with R0 read STRAIGHT from the shared padded planes:
+    clip/stream mode keeps every frame's expansion once (phase-stacked); the
+    batch row's R0 block is DMA'd from phase copy 1 at static, tile-aligned
+    offsets ((pad_y + i*bh) % 8 == 0; (pad_x - 64 + j*bw) % 128 == 0 because
+    copy 1 is the 64-lane-left-shifted source) — no separate R0 array is
+    ever materialized, and no XLA slice of the padded planes exists to lose
+    the fusion lottery (classical/farneback.py round-2 notes)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    pad_y, pad_x, bh, bw = kw["pad_y"], kw["pad_x"], kw["bh"], kw["bw"]
+    nby, nbx, nb_total = kw["nby"], kw["nbx"], kw["nb_total"]
+    # R0 copies ride the same double-buffered prefetch pipeline as the
+    # patches (start block n+1's copy during block n's compute) — an
+    # un-prefetched start+wait inside the body stalls one DMA latency per
+    # block, measured 4.5x on the whole 720p pipeline
+    n = (b * nby + i) * nbx + j
+    slot = jax.lax.rem(n, 2)
+
+    def r0_copy_for(bb, ii, jj, sl):
+        return pltpu.make_async_copy(
+            src_ref.at[1, bb, :,
+                       pl.ds(pl.multiple_of(pad_y + ii * bh, 8), bh),
+                       pl.ds(pl.multiple_of(pad_x - 64 + jj * bw, 128), bw)],
+            r0_scr.at[sl], r0_sem.at[sl],
+        )
+
+    @pl.when(n == 0)
+    def _start_first_r0():
+        r0_copy_for(b, i, j, slot).start()
+
+    @pl.when(n + 1 < nb_total)
+    def _prefetch_next_r0():
+        nn = n + 1
+        jn = jax.lax.rem(nn, nbx)
+        in_ = jax.lax.rem(nn // nbx, nby)
+        bn = nn // (nbx * nby)
+        r0_copy_for(bn, in_, jn, jax.lax.rem(nn, 2)).start()
+
+    acc, u, v, xf, yf, il, jl, i, j = _warp_block_core(
+        x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem, **kw)
+    r0_copy_for(b, i, j, slot).wait()
+    R0v = r0_scr[slot].astype(jnp.float32)
+    _farneback_epilogue(acc, u, v, xf, yf, il, jl, i, j, R0v, out_ref,
+                        img_h=img_h, img_w=img_w, ramp=ramp,
+                        pad_y=pad_y, pad_x=pad_x, bh=bh, bw=bw)
+
+
+def _farneback_epilogue(acc, u, v, xf, yf, il, jl, i, j, R0, out_ref,
+                        *, img_h, img_w, ramp, pad_y, pad_x, bh, bw):
     # cv2's in-bounds test: all four taps strictly inside the REAL image
     xi = xf.astype(jnp.int32) - pad_x
     yi = yf.astype(jnp.int32) - pad_y
     inb = (xi >= 0) & (xi < img_w - 1) & (yi >= 0) & (yi < img_h - 1)
-    R0 = r0_ref[0].astype(jnp.float32)  # [5, bh, bw]
     axx = jnp.where(inb, (R0[2] + acc[2]) * 0.5, R0[2])
     ayy = jnp.where(inb, (R0[3] + acc[3]) * 0.5, R0[3])
     axy = jnp.where(inb, (R0[4] + acc[4]) * 0.25, R0[4] * 0.5)
@@ -423,10 +484,10 @@ def block_warp_bilinear(
     jax.jit,
     static_argnames=("img_hw", "ramp", "block", "slack", "pad", "interpret",
                      "compute_dtype", "realign", "phases", "out_dtype",
-                     "select"),
+                     "select", "src_prestacked", "r0_from_src", "clip_shift"),
 )
 def block_warp_farneback_update(
-    r0: jax.Array,
+    r0: jax.Array | None,
     r1_padded: jax.Array,
     u: jax.Array,
     v: jax.Array,
@@ -442,6 +503,9 @@ def block_warp_farneback_update(
     phases: int = 2,
     out_dtype=jnp.float32,
     select: str = "slice",
+    src_prestacked: bool = False,
+    r0_from_src: bool = False,
+    clip_shift: bool = False,
 ) -> jax.Array:
     """Fused Farneback iteration update: block-patch warp of frame-1's
     expansion planes + per-pixel normal-equation accumulation in ONE kernel
@@ -453,55 +517,94 @@ def block_warp_farneback_update(
     W+2*pad_x] frame-1 planes; u, v: [B, H, W].  Returns M = [B, 5, H, W]
     (G00, G01, G11, h1, h2), valid inside ``img_hw``.  Semantics match
     classical/farneback.py:_update_matrices_planes exactly.
+
+    Shared-expansion variants:
+    - ``src_prestacked``: ``r1_padded`` is already the phase stack
+      [phases, B', 5, Hp, Wp] (emitted directly by the poly matmuls —
+      classical/farneback.py:_poly_planes_direct(phases=...) — skipping the
+      stack's HBM round-trip).
+    - ``clip_shift``: the stack holds B+1 consecutive frames; batch row b
+      warps frame b+1 (R1) against frame b (R0).
+    - ``r0_from_src``: pass ``r0=None``; each block's R0 is DMA'd in-kernel
+      from phase copy 1 of the stack at static tile-aligned offsets — no R0
+      array is materialized and no XLA slice of the padded planes exists
+      (the round-2 "R0-slice fusion lottery").  Requires ``phases == 2``,
+      ``pad_y % 8 == 0`` and ``(pad_x - 64) % 128 == 0``.
     """
     bh, bw, pad_y, pad_x, ph, pw = _geometry(block, slack, pad, phases)
-    B, C, Hp, Wp = r1_padded.shape
+    if src_prestacked:
+        n_ph, Bs, C, Hp, Wp = r1_padded.shape
+        assert n_ph == phases, (n_ph, phases)
+        B = Bs - (1 if clip_shift else 0)
+        srcs = r1_padded.astype(compute_dtype) if compute_dtype else r1_padded
+    else:
+        assert not clip_shift and not r0_from_src
+        B, C, Hp, Wp = r1_padded.shape
     H, W = Hp - 2 * pad_y, Wp - 2 * pad_x
-    assert r0.shape == (B, C, H, W), (r0.shape, (B, C, H, W))
+    if r0_from_src:
+        assert r0 is None
+        assert phases == 2 and pad_y % 8 == 0 and (pad_x - 64) % 128 == 0, (
+            "R0-from-source needs tile-aligned offsets", pad, phases)
+    else:
+        assert r0.shape == (B, C, H, W), (r0.shape, (B, C, H, W))
     assert H % bh == 0 and W % bw == 0, (H, W, block)
     assert Hp % 8 == 0 and Wp % 128 == 0, (Hp, Wp)
     assert ph <= Hp and pw <= Wp, ("image too small", (ph, pw), (Hp, Wp))
     nby, nbx = H // bh, W // bw
     y0, x0 = _block_bases(u, v, block, slack, pad, Hp, Wp, phases)
     cdtype = compute_dtype or r1_padded.dtype
-    src = r1_padded.astype(cdtype)
-    if phases == 1:
-        srcs = src[None]
-    else:
-        assert phases == 2, phases
-        srcs = jnp.stack([src, jnp.roll(src, -64, axis=-1)])
+    if not src_prestacked:
+        src = r1_padded.astype(cdtype)
+        if phases == 1:
+            srcs = src[None]
+        else:
+            assert phases == 2, phases
+            srcs = jnp.stack([src, jnp.roll(src, -64, axis=-1)])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, nby, nbx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0: (b, i, j)),
-            pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0: (b, i, j)),
-            pl.BlockSpec((1, C, bh, bw), lambda b, i, j, x0, y0: (b, 0, i, j)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, C, bh, bw), lambda b, i, j, x0, y0: (b, 0, i, j)
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, C, ph, pw), cdtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    kernel = functools.partial(
-        _kernel_farneback_update, img_h=img_hw[0], img_w=img_hw[1],
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0: (b, i, j)),
+        pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0: (b, i, j)),
+    ]
+    scratch = [
+        pltpu.VMEM((2, C, ph, pw), cdtype),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    common = dict(
+        img_h=img_hw[0], img_w=img_hw[1],
         ramp=tuple(float(r) for r in ramp),
         bh=bh, bw=bw, ph=ph, pw=pw,
         slack=slack, pad_y=pad_y, pad_x=pad_x,
         nby=nby, nbx=nbx, nb_total=B * nby * nbx,
         realign=realign, interpret=interpret, phases=phases, select=select,
+        r1_off=1 if clip_shift else 0,
+    )
+    if r0_from_src:
+        kernel = functools.partial(_kernel_farneback_update_r0src, **common)
+        scratch += [pltpu.VMEM((2, C, bh, bw), cdtype),
+                    pltpu.SemaphoreType.DMA((2,))]
+        operands = (x0, y0, srcs, u, v)
+    else:
+        kernel = functools.partial(_kernel_farneback_update, **common)
+        in_specs.append(
+            pl.BlockSpec((1, C, bh, bw), lambda b, i, j, x0, y0: (b, 0, i, j)))
+        operands = (x0, y0, srcs, u, v, r0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, nby, nbx),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, C, bh, bw), lambda b, i, j, x0, y0: (b, 0, i, j)
+        ),
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), out_dtype),
         interpret=interpret,
-    )(x0, y0, srcs, u, v, r0)
+    )(*operands)
 
 
 def block_warp_bilinear_reference(

@@ -240,6 +240,7 @@ def measure_stream_latency(
     aggregate: str = "mean",
     paced: bool = True,
     sync_every: int = 1,
+    drain_async: bool = False,
     stream=None,
     **fb_kwargs,
 ) -> dict:
@@ -258,7 +259,13 @@ def measure_stream_latency(
     ``stream`` overrides the default :class:`FusedFarnebackStream` with any
     object exposing ``step(frame) -> du | None`` / ``warmup`` / ``reset``
     (e.g. a :class:`FusedModelStream` over LFN3 — the reference's learned
-    streaming node, lfn3_node.py:29-31 640x480@30)."""
+    streaming node, lfn3_node.py:29-31 640x480@30).
+
+    ``drain_async=True`` moves the host syncs to a drainer thread (the
+    reference's own shape: capture thread + inference thread,
+    lfn3_node.py:84-89) so a tunnel RTT longer than the camera period
+    cannot stall the dispatch loop; dispatches stay in order, latency is
+    still measured frame-arrival -> velocity-on-host."""
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
@@ -275,17 +282,38 @@ def measure_stream_latency(
     lat = []
     pending: list[tuple[float, object]] = []
 
-    def drain():
-        if not pending:
+    def drain(batch):
+        if not batch:
             return
-        if len(pending) == 1:
-            vals = [float(pending[0][1])]
+        if len(batch) == 1:
+            vals = [float(batch[0][1])]
         else:
-            vals = np.asarray(jnp.stack([du for _, du in pending]))
+            vals = np.asarray(jnp.stack([du for _, du in batch]))
         t_done = time.perf_counter()
-        for (t_arrive, _), _v in zip(pending, vals):
+        for (t_arrive, _), _v in zip(batch, vals):
             lat.append(t_done - t_arrive)
-        pending.clear()
+
+    worker = None
+    if drain_async:
+        import queue as _queue
+        import threading
+
+        q: _queue.Queue = _queue.Queue()
+
+        def _drainer():
+            batch = []
+            while True:
+                item = q.get()
+                if item is None:
+                    drain(batch)
+                    return
+                batch.append(item)
+                if len(batch) >= sync_every:
+                    drain(batch)
+                    batch = []
+
+        worker = threading.Thread(target=_drainer, daemon=True)
+        worker.start()
 
     t_start = time.perf_counter()
     t_next = t_start
@@ -298,27 +326,47 @@ def measure_stream_latency(
             t_next += period
         else:
             t_arrive = time.perf_counter()
-        pending.append((t_arrive, stream.step(frame)))
-        if len(pending) >= sync_every:
-            drain()
-    drain()
+        du = stream.step(frame)
+        if drain_async:
+            q.put((t_arrive, du))
+        else:
+            pending.append((t_arrive, du))
+            if len(pending) >= sync_every:
+                drain(pending)
+                pending = []
+    if drain_async:
+        q.put(None)
+        worker.join(timeout=30.0)
+    else:
+        drain(pending)
     elapsed = time.perf_counter() - t_start
-    lat_ms = np.sort(np.array(lat) * 1000.0)
+    raw = np.array(lat) * 1000.0
+    lat_ms = np.sort(raw)
     sustained = (len(frames) - 1) / elapsed
-    # held_rate: the pipeline keeps up with the camera (no cumulative lag)
-    # and the typical frame's velocity lands within its camera period;
-    # occasional p99 spikes are tunnel-RTT jitter, not a falling-behind
-    # pipeline, so they don't fail the rate.
-    budget_ms = 1000.0 / fps * max(sync_every, 1)
+    if drain_async:
+        # held: throughput kept camera pace (elapsed includes every sync)
+        # AND latency did not diverge across the run (a device or sync
+        # throughput below fps shows up as linearly growing latency)
+        q4 = max(len(raw) // 4, 1)
+        diverged = (raw[-q4:].mean()
+                    > raw[:q4].mean() + 2.0 * 1000.0 / fps)
+        held = bool(sustained >= 0.97 * fps and not diverged)
+    else:
+        # synchronous drains: the typical frame's velocity must land within
+        # its sync_every camera periods; occasional p99 spikes are
+        # tunnel-RTT jitter, not a falling-behind pipeline.
+        budget_ms = 1000.0 / fps * max(sync_every, 1)
+        held = bool(sustained >= 0.98 * fps
+                    and float(np.percentile(lat_ms, 50)) < budget_ms)
     return {
         "p50_ms": float(np.percentile(lat_ms, 50)),
         "p99_ms": float(np.percentile(lat_ms, 99)),
         "mean_ms": float(lat_ms.mean()),
         "sustained_fps": sustained,
         "target_fps": fps,
-        "held_rate": bool(sustained >= 0.98 * fps
-                          and float(np.percentile(lat_ms, 50)) < budget_ms),
+        "held_rate": held,
         "sync_every": sync_every,
+        "drain_async": drain_async,
         "n_frames": len(frames) - 1,
     }
 
