@@ -117,6 +117,41 @@ def test_fused_farneback_update_matches_unfused(rng, monkeypatch):
     np.testing.assert_allclose(fused, unfused, atol=1e-4 * scale)
 
 
+def test_fused_update_prestacked_r0src_clip_matches_plain(rng):
+    """The shared-expansion kernel variants (src_prestacked phase stack,
+    clip_shift frame packing, in-kernel R0 DMA from phase copy 1) must
+    reproduce the plain fused update exactly: same warp, same epilogue, the
+    R0 block DMA'd from the stack is the same pixels the plain path receives
+    as a materialized array."""
+    from opticalflowcontainer_tpu.ops.blockwarp import (
+        block_warp_farneback_update,
+    )
+
+    T, C = 3, 5
+    bh, bw = 32, 128
+    H, W = 64, 256
+    pad_y, pad_x = 40, 192
+    Hp, Wp = H + 2 * pad_y, W + 2 * pad_x
+    src = rng.normal(size=(T, C, Hp, Wp)).astype(np.float32)
+    u = rng.uniform(-3, 3, (T - 1, H, W)).astype(np.float32)
+    v = rng.uniform(-3, 3, (T - 1, H, W)).astype(np.float32)
+    ramp = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
+    kw = dict(img_hw=(H - 2, W - 5), ramp=ramp, block=(bh, bw), slack=2,
+              pad=(pad_y, pad_x), interpret=True, realign="roll", phases=2,
+              select="roll")
+
+    srcj = jnp.asarray(src)
+    stack = jnp.stack([srcj, jnp.roll(srcj, -64, axis=-1)])
+    got = np.asarray(block_warp_farneback_update(
+        None, stack, jnp.asarray(u), jnp.asarray(v),
+        src_prestacked=True, r0_from_src=True, clip_shift=True, **kw))
+
+    r0 = srcj[:-1, :, pad_y : pad_y + H, pad_x : pad_x + W]
+    want = np.asarray(block_warp_farneback_update(
+        r0, srcj[1:], jnp.asarray(u), jnp.asarray(v), **kw))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_farneback_block_path_cv2_parity(rng, monkeypatch):
     cv2 = pytest.importorskip("cv2")
     import opticalflowcontainer_tpu.classical.farneback as fb
