@@ -66,6 +66,36 @@ def main(argv=None):
     except Exception:
         pass
 
+    # Watchdog: the axon tunnel has hour-scale outages (a remote compile can
+    # hang forever INSIDE a C call, where Python signal handlers never run —
+    # verified: SIGTERM+SIGALRM both deferred indefinitely mid-compile).  A
+    # daemon THREAD emits one JSON line with whatever legs completed and
+    # hard-exits — a partial record beats an empty BENCH_r*.json.
+    import threading
+
+    record = {
+        "metric": ("farneback_720p_fields_per_sec"
+                   if (args.height, args.width) == (720, 1280)
+                   else f"farneback_{args.height}p_fields_per_sec"),
+        "value": 0.0,
+        "unit": "fields/s",
+        "vs_baseline": 0.0,
+    }
+    state = {"record": record, "done": False}
+
+    def _watchdog(deadline_s):
+        time.sleep(deadline_s)
+        if not state["done"]:
+            state["record"]["aborted"] = "watchdog"
+            print(json.dumps(state["record"]), flush=True)
+            os._exit(2)
+
+    threading.Thread(
+        target=_watchdog, daemon=True,
+        args=(float(os.environ.get("BENCH_WATCHDOG_S",
+                                   "1500" if args.quick else "3000")),),
+    ).start()
+
     import jax.numpy as jnp
 
     from opticalflowcontainer_tpu.classical import (
@@ -236,6 +266,7 @@ def main(argv=None):
     }
     if epe is not None:
         record["epe_vs_cv2_px"] = round(epe, 5)
+    state["record"] = record  # watchdog now emits the filled record
 
     if not args.no_roofline:
         # HBM roofline: (a) measured streaming ceiling of this slice — an
@@ -510,6 +541,7 @@ def main(argv=None):
                       f"device {t_l / l_reps * 1000:.1f} ms/frame",
                       file=sys.stderr)
 
+    state["done"] = True
     print(json.dumps(record))
     return 0
 
