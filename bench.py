@@ -49,13 +49,18 @@ def main(argv=None):
                     help="skip the HBM roofline leg")
     ap.add_argument("--no-lk", action="store_true",
                     help="skip the sparse pyramidal-LK leg")
-    ap.add_argument("--multistream", action="store_true",
+    ap.add_argument("--multistream", action="store_true", default=None,
                     help="2x1080p multi-stream leg (BASELINE config 5): "
                          "device fields/s of the batched fused backend plus "
-                         "an end-to-end MultiStreamFlow run")
+                         "an end-to-end MultiStreamFlow run (default: on for "
+                         "full runs, off for --quick)")
+    ap.add_argument("--no-multistream", dest="multistream",
+                    action="store_false")
     ap.add_argument("--no-lfn3-stream", action="store_true",
                     help="skip the learned-model (LFN3) streaming leg")
     args = ap.parse_args(argv)
+    if args.multistream is None:
+        args.multistream = not args.quick
 
     import numpy as np
     import jax
