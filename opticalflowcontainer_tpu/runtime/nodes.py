@@ -56,6 +56,14 @@ class NodeParams:
     publish_debug_images: bool = False
     junction_box: int = 11
     queue_size: int = 2
+    # Fixed net input size (reference neuflow_node.py:50-51 runs at 768x432
+    # regardless of camera size; sub-nodes resize frames to their width/
+    # height params, pwc_sub_node.py:155-156).  None = run at frame size.
+    # Unlike the reference (whose velocity silently changes units when the
+    # resize factor != 1), the horizontal displacement is scaled back by
+    # frame_w / net_w so velocities stay in SOURCE-pixel units.
+    net_width: int | None = None
+    net_height: int | None = None
 
 
 class FlowNode:
@@ -202,6 +210,26 @@ class FlowNode:
             obs = frame[..., 0].astype(np.float32)
         else:
             obs = frame.astype(np.float32)
+        u_scale = v_scale = 1.0
+        net_resized = False
+        if (self.p.net_width is not None and self.p.net_height is not None
+                and obs.shape[:2] != (self.p.net_height, self.p.net_width)):
+            net_resized = True
+            import cv2
+
+            u_scale = obs.shape[1] / float(self.p.net_width)
+            v_scale = obs.shape[0] / float(self.p.net_height)
+            obs = cv2.resize(
+                np.ascontiguousarray(obs, np.float32),
+                (self.p.net_width, self.p.net_height),
+                interpolation=cv2.INTER_AREA,
+            )
+            if mask is not None:
+                mask = cv2.resize(
+                    mask.astype(np.uint8),
+                    (self.p.net_width, self.p.net_height),
+                    interpolation=cv2.INTER_NEAREST,
+                ).astype(bool)
         if self._prev is None:
             self._prev = (obs, msg.header.stamp)
             return
@@ -214,10 +242,13 @@ class FlowNode:
             # horizontal displacement ON DEVICE and returns one scalar — no
             # flow-field host transfer per frame.
             du = self.backend(prev, obs, dt, mask)
-            vx, vx_smooth = self.vel.update_from_displacement(du, dt)
+            vx, vx_smooth = self.vel.update_from_displacement(
+                du * u_scale if net_resized else du, dt)
             flow = None
         else:
             flow = np.asarray(self.backend(prev, obs, dt))
+            if net_resized:
+                flow = flow * np.asarray([u_scale, v_scale], np.float32)
             vx, vx_smooth, _vy = self.vel.update(flow, dt, mask)
         name = self.p.name
         self.bus.publish(

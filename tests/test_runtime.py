@@ -136,6 +136,46 @@ def test_topic_mode_and_depth_node():
     assert len(vels) == 1  # first frame primes, second estimates
 
 
+def test_net_size_resize_keeps_source_pixel_units():
+    """net_width/net_height run the backend at a fixed size (reference
+    neuflow_node.py:50-51 fixed 768x432; sub-nodes' resize-to-param) while
+    velocities stay in SOURCE-pixel units: a +4 px/frame shift at 320 wide
+    is +2 px at net 160, scaled back to +4."""
+    import cv2
+
+    bus = Bus()
+    seen_shapes = []
+
+    def backend(prev, nxt, dt):
+        seen_shapes.append(nxt.shape)
+        flow = np.zeros(nxt.shape[:2] + (2,), np.float32)
+        # phase-correlate-free oracle: known constant shift recovered by
+        # matching columns; just return the true net-scale displacement
+        flow[..., 0] = 2.0
+        return flow
+
+    node = FlowNode(
+        backend,
+        NodeParams(pixel_to_meter=1.0, name="NS", net_width=160,
+                   net_height=120),
+    ).attach(bus)
+    vels = []
+    bus.subscribe("/optical_flow/NS_velocity", lambda m: vels.append(m.x))
+    rng = np.random.default_rng(0)
+    base = cv2.GaussianBlur(
+        rng.uniform(0, 255, (260, 340)).astype(np.float32), (0, 0), 2.0)
+    for f in range(3):
+        frame = base[10:250, 10 + 4 * f : 330 + 4 * f]  # 240x320 frames
+        bus.publish(
+            "/camera/color/image_raw",
+            ImageMsg(Header(float(f)),
+                     np.repeat(frame[..., None], 3, -1).astype(np.uint8)),
+        )
+    assert all(s == (120, 160) for s in seen_shapes)
+    # backend reported 2 px/frame at net scale; dt=1 -> vx = 2 * (320/160)
+    assert len(vels) == 2 and all(abs(v - 4.0) < 1e-5 for v in vels)
+
+
 def test_junction_masked_node_sync():
     bus = Bus()
     node = JunctionMaskFlowNode(
