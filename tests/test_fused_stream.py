@@ -115,6 +115,19 @@ def test_measure_stream_latency_smoke():
     assert out["n_frames"] == 5
 
 
+def test_measure_stream_latency_drain_async_smoke():
+    """drain_async moves host syncs to a drainer thread (the reference's
+    capture/inference thread shape); every frame must still be measured and
+    the divergence-based held_rate must be a bool."""
+    out = measure_stream_latency(
+        height=48, width=64, fps=200.0, n_frames=8, paced=False,
+        sync_every=2, drain_async=True, **FB
+    )
+    assert out["n_frames"] == 7
+    assert out["p50_ms"] > 0 and out["p99_ms"] >= out["p50_ms"]
+    assert isinstance(out["held_rate"], bool)
+
+
 def test_fused_model_stream_matches_unfused_backend():
     """Learned-model fused path (model estimate + aggregation on device)
     publishes the same velocities as make_model_backend + host aggregation."""
