@@ -27,8 +27,45 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
+def _draw_mesh(rng, base):
+    """Overlay a procedural net/mesh on ``base`` in place: two families of
+    jittered parallel lines (random spacing/angle/polarity/thickness) — the
+    deployment domain's dominant structure (thin periodic fishnet strands,
+    reference junction_detector.cpp:31-214) that Gaussian-blob textures never
+    produce.  Periodicity is what breaks matching models trained without it
+    (measured: NeuFlowLite p50 17.8 px on the fishnet eval source vs 0.5-0.7
+    on blob textures — locked onto the wrong mesh cell)."""
+    import cv2
+    import numpy as np
+
+    h, w = base.shape
+    spacing = rng.uniform(10, 48)
+    ang = rng.uniform(0, np.pi)
+    thick = int(rng.integers(1, 3))
+    # line intensity: darker or brighter than the background
+    val = float(rng.uniform(0.0, 0.25) if rng.uniform() < 0.5
+                else rng.uniform(0.75, 1.0))
+    jitter = rng.uniform(0, 0.25) * spacing
+    diag = int(np.hypot(h, w)) + 1
+    for fam in range(2):
+        a = ang + np.pi / 2 * fam + rng.uniform(-0.06, 0.06)
+        dx, dy = np.cos(a), np.sin(a)
+        nx, ny = -dy, dx  # line normal
+        n_lines = int(diag / spacing) + 2
+        for k in range(-n_lines, n_lines):
+            # polyline with sinusoidal jitter so strands are not ideal lines
+            ts = np.linspace(-diag, diag, 16)
+            off = k * spacing + jitter * np.sin(
+                ts / rng.uniform(20, 80) + rng.uniform(0, 6.28))
+            xs = w / 2 + dx * ts + nx * off
+            ys = h / 2 + dy * ts + ny * off
+            pts = np.stack([xs, ys], -1).astype(np.int32)
+            cv2.polylines(base, [pts], False, val, thick, cv2.LINE_AA)
+
+
 def make_affine_batch(rng, B=8, H=96, W=128, max_t=16.0, max_angle=8.0,
-                      scales=(0.92, 1.1), textures=3, photometric=True):
+                      scales=(0.92, 1.1), textures=3, photometric=True,
+                      mesh_prob=0.0, color_prob=0.0):
     """Exact-GT affine frame pairs on multi-scale procedural texture.
 
     Returns dict(img1, img2 [B,H,W,3] float32 in [0,1], flow [B,H,W,2]).
@@ -36,7 +73,11 @@ def make_affine_batch(rng, B=8, H=96, W=128, max_t=16.0, max_angle=8.0,
     scale + translation about the image center) covering both its easy and
     hard ranges; ``photometric`` adds the hard suite's gain/offset change on
     frame 2 + sensor noise on both frames (half the samples, so the easy
-    regime stays represented).
+    regime stays represented).  ``mesh_prob`` overlays a procedural fishnet
+    mesh (see :func:`_draw_mesh`); ``color_prob`` replaces the gray-replicated
+    3-channel output with random per-channel gain/offset colorization (the
+    deployment imagery is colored — nets on blue water — while gray-replicated
+    training never shows R!=G!=B statistics).
     """
     import cv2
     import numpy as np
@@ -56,6 +97,8 @@ def make_affine_batch(rng, B=8, H=96, W=128, max_t=16.0, max_angle=8.0,
             ) * rng.uniform(0.4, 1.0)
         base -= base.min()
         base /= max(base.max(), 1e-6)
+        if rng.uniform() < mesh_prob:
+            _draw_mesh(rng, base)
         ang = rng.uniform(-max_angle, max_angle)
         sc = rng.uniform(*scales)
         tx, ty = rng.uniform(-max_t, max_t, 2)
@@ -67,8 +110,17 @@ def make_affine_batch(rng, B=8, H=96, W=128, max_t=16.0, max_angle=8.0,
             f2 = np.clip(f2 * rng.uniform(0.6, 1.4) + rng.uniform(-0.1, 0.1), 0, 1)
             f1 = np.clip(f1 + rng.normal(0, 0.016, f1.shape), 0, 1).astype(np.float32)
             f2 = np.clip(f2 + rng.normal(0, 0.016, f2.shape), 0, 1).astype(np.float32)
-        img1[i] = f1[..., None]
-        img2[i] = f2[..., None]
+        if rng.uniform() < color_prob:
+            # per-channel affine colorization, identical on both frames:
+            # luminance structure stays the GT-warped signal, channels get
+            # distinct gains/offsets (colored nets on colored water)
+            g = rng.uniform(0.3, 1.0, 3).astype(np.float32)
+            o = rng.uniform(0.0, 0.5, 3).astype(np.float32) * (1.0 - g)
+            img1[i] = np.clip(f1[..., None] * g + o, 0, 1)
+            img2[i] = np.clip(f2[..., None] * g + o, 0, 1)
+        else:
+            img1[i] = f1[..., None]
+            img2[i] = f2[..., None]
         # forward flow(p1) = M p1 - p1 (same derivation as the eval pairs)
         x2 = M[0, 0] * xs + M[0, 1] * ys + M[0, 2]
         y2 = M[1, 0] * xs + M[1, 1] * ys + M[1, 2]
@@ -140,6 +192,13 @@ def main(argv=None):
                          "plateau from scratch — teacher fields are "
                          "smoother/achievable regression targets); "
                          "fine-tune on GT afterwards with --resume")
+    ap.add_argument("--mesh-prob", type=float, default=0.0,
+                    help="probability of overlaying a procedural fishnet "
+                         "mesh on each training texture (deployment-domain "
+                         "structure; see _draw_mesh)")
+    ap.add_argument("--color-prob", type=float, default=0.0,
+                    help="probability of per-channel colorization instead "
+                         "of gray-replicated 3-channel frames")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -297,7 +356,8 @@ def main(argv=None):
         else:
             mkw = {}
         batch = make_affine_batch(rng, args.batch, args.height, args.width,
-                                  **mkw)
+                                  mesh_prob=args.mesh_prob,
+                                  color_prob=args.color_prob, **mkw)
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if teacher_fn is not None:
             batch["flow"] = teacher_fn(batch["img1"], batch["img2"])
