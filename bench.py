@@ -200,20 +200,34 @@ def main(argv=None):
               f"{'T=%d' % args.clip if args.clip else 'B=%d' % B} reps={reps} "
               f"compile+first={compile_s:.1f}s checksum={s0:.0f}", file=sys.stderr)
 
-    def timed(f):
+    def timed(f, *targs, n=None):
         # best-of-N timed executions: the tunnel RTT has multi-second spikes;
-        # min() measures the device, not the network
+        # min() measures the device, not the network.  Shared by every leg.
+        targs = targs or fn_args
         return min(
-            (lambda t0: (float(f(*fn_args)), time.time() - t0)[1])(time.time())
-            for _ in range(1 if args.quick else 3)
+            (lambda t0: (float(f(*targs)), time.time() - t0)[1])(time.time())
+            for _ in range(n or (1 if args.quick else 3))
         )
 
     elapsed = timed(fn)
     elapsed_half = timed(fn_half)
     per_field = elapsed / (reps * fields_per_call)
     fields_per_sec = 1.0 / per_field
-    device_per_field = (elapsed - elapsed_half) / (
-        (reps - reps_half) * fields_per_call)
+    if reps > reps_half:
+        device_per_field = (elapsed - elapsed_half) / (
+            (reps - reps_half) * fields_per_call)
+        # RTT jitter between the two independently-timed executions can make
+        # the difference non-physical (negative, or above the full-chain
+        # per-field time).  Flag and fall back to the wall number rather than
+        # shipping garbage into the roofline fields.
+        if not (0.0 < device_per_field <= per_field * 1.25):
+            device_unreliable_ms = round(device_per_field * 1000, 3)
+            device_per_field = per_field
+        else:
+            device_unreliable_ms = None
+    else:
+        device_per_field = per_field  # --reps 1: no chain difference
+        device_unreliable_ms = None
 
     epe = None
     if args.check_epe:
@@ -271,6 +285,10 @@ def main(argv=None):
     }
     if epe is not None:
         record["epe_vs_cv2_px"] = round(epe, 5)
+    if device_unreliable_ms is not None:
+        # chain difference was non-physical (RTT jitter); device fields fell
+        # back to the wall number — the raw difference is recorded here
+        record["device_time_unreliable_ms"] = device_unreliable_ms
     state["record"] = record  # watchdog now emits the filled record
 
     if not args.no_roofline:
@@ -294,12 +312,9 @@ def main(argv=None):
 
         sf = jax.jit(stream_fn)
         float(sf(xs))
-        t_c = min(
-            (lambda t0: (float(sf(xs)), time.time() - t0)[1])(time.time())
-            for _ in range(3))
-        # subtract the per-execution RTT measured from the main-chain pair
-        rtt = max(elapsed - (elapsed - elapsed_half) * reps
-                  / (reps - reps_half), 0.0)
+        t_c = timed(sf, xs, n=3)
+        # subtract the per-execution RTT estimated from the main chain
+        rtt = max(elapsed - device_per_field * reps * fields_per_call, 0.0)
         ceiling_gbps = (nelem * 4 * ceil_reps) / max(t_c - rtt, 1e-9) / 1e9
 
         # analytic traffic model of the block-warp pipeline (true patch-DMA
@@ -355,10 +370,7 @@ def main(argv=None):
 
         lk_fn = jax.jit(lk_chain)
         float(lk_fn(lp, ln, pts))
-        t_lk = min(
-            (lambda t0: (float(lk_fn(lp, ln, pts)), time.time() - t0)[1])(
-                time.time())
-            for _ in range(1 if args.quick else 3))
+        t_lk = timed(lk_fn, lp, ln, pts)
         lk_ms = t_lk / lk_reps * 1000.0
         record["lk_640x480_500pts_ms_per_frame"] = round(lk_ms, 2)
         record["lk_tracks_per_sec"] = round(Npts / (t_lk / lk_reps), 0)
@@ -391,9 +403,7 @@ def main(argv=None):
 
         msf = jax.jit(ms_chain)
         float(msf(mp, mc))
-        t_ms = min(
-            (lambda t0: (float(msf(mp, mc)), time.time() - t0)[1])(time.time())
-            for _ in range(1 if args.quick else 3))
+        t_ms = timed(msf, mp, mc)
         dev_field_ms = t_ms / (ms_reps * 2) * 1000.0
         record["multistream_2x1080p_device_ms_per_field"] = round(dev_field_ms, 2)
         record["multistream_2x1080p_device_fields_per_sec"] = round(
@@ -414,8 +424,19 @@ def main(argv=None):
         frames_np = [np.ascontiguousarray(base_m[s, 4 : 4 + Hm,
                                                  4 + i : 4 + i + Wm])
                      for s in range(2) for i in range(-2, 2)]
+        # warm-up OUTSIDE the window: the first batches compile the seed +
+        # steady programs (20-300 s remote) — timing them would swamp a 3 s
+        # measurement window with compile time
+        for wk in range(3):
+            for s in range(2):
+                msf2.push_frame(s, frames_np[s * 4 + wk % 4], wk / 60.0)
+            time.sleep(0.05)
+        t_wait = time.time()
+        while msf2.batches < 2 and time.time() - t_wait < 600.0:
+            time.sleep(0.2)
         dur = 3.0 if not args.quick else 1.5
         t_start_ms = time.time()
+        fields0 = msf2.fields
         t = 0.0
         k = 0
         while time.time() < t_start_ms + dur:
@@ -426,7 +447,7 @@ def main(argv=None):
             time.sleep(1.0 / 60.0)
         time.sleep(0.3)
         msf2.stop()
-        e2e_fps = msf2.fields / (time.time() - t_start_ms)
+        e2e_fps = (msf2.fields - fields0) / (time.time() - t_start_ms)
         record["multistream_2x1080p_e2e_fields_per_sec"] = round(e2e_fps, 1)
         if not args.json_only:
             print(f"# multistream 2x1080p: device {dev_field_ms:.1f} ms/field "
@@ -531,10 +552,7 @@ def main(argv=None):
                 rng.uniform(0, 1, (480, 640, 3)), jnp.float32)
             lf = jax.jit(lfn3_chain)
             float(lf(i1, i2))
-            t_l = min(
-                (lambda t0: (float(lf(i1, i2)), time.time() - t0)[1])(
-                    time.time())
-                for _ in range(1 if args.quick else 3))
+            t_l = timed(lf, i1, i2)
             record["lfn3_stream_sustained_fps"] = round(lat3["sustained_fps"], 1)
             record["lfn3_stream_p50_latency_ms"] = round(lat3["p50_ms"], 2)
             record["lfn3_stream_held_30fps"] = lat3["held_rate"]

@@ -173,7 +173,8 @@ def main(argv=None):
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--sintel", default=None, help="MPI-Sintel root")
     ap.add_argument("--kitti", default=None, help="KITTI-2015 root")
-    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n", type=int, default=None,
+                help="pairs to evaluate (default 8; 32 for --fishnet)")
     ap.add_argument("--hard", action="store_true",
                     help="hard synthetic suite: large motion + illumination "
                          "change + noise (brightness-constancy breaker)")
@@ -206,18 +207,18 @@ def main(argv=None):
 
     if args.sintel:
         data = SintelDataset(args.sintel)
-        pairs = [data[i] for i in range(min(len(data), args.n))]
+        pairs = [data[i] for i in range(min(len(data), args.n or 8))]
         src = "sintel"
     elif args.kitti:
         data = KittiFlowDataset(args.kitti)
-        pairs = [data[i] for i in range(min(len(data), args.n))]
+        pairs = [data[i] for i in range(min(len(data), args.n or 8))]
         src = "kitti"
     elif args.fishnet:
-        n = args.n if args.n != 8 else 32
+        n = args.n or 32
         pairs = fishnet_eval_pairs(n, hard=args.hard)
         src = "fishnet-hard" if args.hard else "fishnet"
     else:
-        pairs = synthetic_eval_pairs(args.n, hard=args.hard)
+        pairs = synthetic_eval_pairs(args.n or 8, hard=args.hard)
         src = "synthetic-hard" if args.hard else "synthetic"
     if not pairs:
         raise SystemExit(f"no eval pairs found for {src}")

@@ -334,15 +334,28 @@ def measure_stream_latency(
             if len(pending) >= sync_every:
                 drain(pending)
                 pending = []
+    drainer_hung = False
     if drain_async:
         q.put(None)
         worker.join(timeout=30.0)
+        drainer_hung = worker.is_alive()  # a host sync is stuck (tunnel)
     else:
         drain(pending)
     elapsed = time.perf_counter() - t_start
-    raw = np.array(lat) * 1000.0
+    # snapshot: a hung drainer may still append to lat concurrently
+    raw = np.array(list(lat)) * 1000.0
     lat_ms = np.sort(raw)
     sustained = (len(frames) - 1) / elapsed
+    if raw.size == 0:
+        # nothing drained (e.g. the first sync hung for the whole run):
+        # report the failure instead of crashing on empty percentiles
+        return {
+            "p50_ms": float("nan"), "p99_ms": float("nan"),
+            "mean_ms": float("nan"), "sustained_fps": sustained,
+            "target_fps": fps, "held_rate": False, "sync_every": sync_every,
+            "drain_async": drain_async, "drainer_hung": drainer_hung,
+            "n_frames": len(frames) - 1, "n_measured": 0,
+        }
     if drain_async:
         # held: throughput kept camera pace (elapsed includes every sync)
         # AND latency did not diverge across the run (a device or sync
@@ -364,10 +377,12 @@ def measure_stream_latency(
         "mean_ms": float(lat_ms.mean()),
         "sustained_fps": sustained,
         "target_fps": fps,
-        "held_rate": held,
+        "held_rate": held and not drainer_hung,
         "sync_every": sync_every,
         "drain_async": drain_async,
+        "drainer_hung": drainer_hung,
         "n_frames": len(frames) - 1,
+        "n_measured": int(raw.size),
     }
 
 

@@ -235,10 +235,7 @@ def main(argv=None):
 
     if name in ("raft_small", "raft_large"):
         from ..models import RAFT, RAFTSmall
-        from ..models.raft import load_raft_small_synth, load_raft_synth
-
         model = RAFTSmall() if name == "raft_small" else RAFT()
-        loader = load_raft_small_synth if name == "raft_small" else load_raft_synth
         init = lambda key: model.init(key, i0, i0, 2)
 
         def step_body(s, b):
@@ -255,17 +252,14 @@ def main(argv=None):
         lvl_w = {6: 0.32, 5: 0.08, 4: 0.02, 3: 0.01, 2: 0.005}
         if name == "pwcnet":
             from ..models import PWCNet
-            from ..models.pwcnet import load_pwcnet_synth as loader
 
             model = PWCNet()
         elif name == "liteflownet3":
             from ..models import LiteFlowNet3
-            from ..models.liteflownet3 import load_liteflownet3_synth as loader
 
             model = LiteFlowNet3()
         else:
             from ..models import LiteFlowNet
-            from ..models.liteflownet import load_liteflownet_synth as loader
 
             model = LiteFlowNet()
         # all three trunks are norm-free leaky-conv stacks: rescale the
@@ -293,7 +287,6 @@ def main(argv=None):
             return TrainState(params, opt_state, s.step + 1), loss
     else:
         from ..models import NeuFlowLite
-        from ..models.neuflow import load_neuflow_lite_synth as loader
 
         model = NeuFlowLite()
         init = lambda key: model.init(key, i0, i0)
@@ -320,8 +313,13 @@ def main(argv=None):
     if args.distill:
         from ..models.raft import load_raft_small_synth, load_raft_synth
 
-        t_model, t_params = (load_raft_synth() if args.distill == "raft_large"
-                             else load_raft_small_synth())
+        loaded = (load_raft_synth() if args.distill == "raft_large"
+                  else load_raft_small_synth())
+        if loaded is None:
+            raise SystemExit(
+                f"--distill {args.distill}: packaged teacher weights not "
+                f"found under {WEIGHTS_DIR}")
+        t_model, t_params = loaded
         teacher_fn = jax.jit(lambda i1, i2: jax.vmap(
             lambda a, b: t_model.apply(t_params, a, b, 12)[-1])(i1, i2))
         print(f"distilling from {args.distill} teacher")
