@@ -72,6 +72,35 @@ def test_affine_batch_ground_truth_consistent():
         assert float(err.mean()) < 0.02, err.mean()
 
 
+def test_affine_batch_mesh_and_color_augmentation():
+    """--mesh-prob / --color-prob: mesh overlay keeps the GT exact (drawn
+    before the affine warp), colorization makes channels differ while both
+    frames share the same per-channel transform."""
+    import cv2
+
+    from opticalflowcontainer_tpu.tools.train_flow import make_affine_batch
+
+    rng = np.random.default_rng(11)
+    b = make_affine_batch(rng, B=4, H=64, W=96, max_t=4.0, max_angle=3.0,
+                          photometric=False, mesh_prob=1.0, color_prob=1.0)
+    # colorized: R != G somewhere, values stay in [0, 1]
+    assert np.abs(b["img1"][..., 0] - b["img1"][..., 1]).mean() > 1e-3
+    assert b["img1"].min() >= 0.0 and b["img1"].max() <= 1.0
+    for i in range(4):
+        img1 = b["img1"][i, ..., 0]
+        img2 = b["img2"][i, ..., 0]
+        gt = b["flow"][i]
+        H, W = img1.shape
+        xs, ys = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
+        back = cv2.remap(img2, xs + gt[..., 0], ys + gt[..., 1],
+                         cv2.INTER_LINEAR)
+        err = np.abs(back - img1)[8:-8, 8:-8]
+        # thin AA mesh lines double-resample worse than blob texture (0.02
+        # bar there); convention errors would still blow past 0.1
+        assert float(err.mean()) < 0.05, err.mean()
+
+
 def test_neuflow_training_loss_decreases(rng):
     """NeuFlowLite's train path (train_flow --model neuflow_lite) learns:
     guards the InstanceNorm/cosine-matching conditioning — without it the
