@@ -11,8 +11,23 @@ import json
 import time
 
 
+def _npz_params(path: str):
+    """Flax params from a flat-npz checkpoint at an explicit path (the
+    tools/train_flow.py save format) — lets ``--ckpt candidate.npz`` evaluate
+    a training candidate for ANY learned method without touching the
+    packaged weights under models/weights/."""
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    data = np.load(path)
+    tree = unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
+    return {"params": tree}
+
+
 def _make_method(name: str, ckpt: str | None, quick: bool):
     import numpy as np
+
+    npz = _npz_params(ckpt) if (ckpt and ckpt.endswith(".npz")) else None
 
     if name == "farneback":
         import jax
@@ -54,9 +69,10 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
 
             def run(img1, img2):
                 if not hasattr(run, "params"):
-                    run.params = loaded[1] if loaded else model.init(
-                        jax.random.PRNGKey(0), img1[:64, :64], img2[:64, :64], 2
-                    )
+                    run.params = npz if npz is not None else (
+                        loaded[1] if loaded else model.init(
+                            jax.random.PRNGKey(0),
+                            img1[:64, :64], img2[:64, :64], 2))
                 return np.asarray(estimate(model, run.params, img1, img2,
                                            iters=4 if quick else 12))
 
@@ -73,9 +89,10 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
 
             def run(img1, img2):
                 if not hasattr(run, "params"):
-                    run.params = loaded[1] if loaded else model.init(
-                        jax.random.PRNGKey(0), img1[:64, :64], img2[:64, :64]
-                    )
+                    run.params = npz if npz is not None else (
+                        loaded[1] if loaded else model.init(
+                            jax.random.PRNGKey(0),
+                            img1[:64, :64], img2[:64, :64]))
                 return np.asarray(nf_estimate(model, run.params, img1, img2))
 
             run.flow_fn = lambda i1, i2: nf_estimate(
@@ -92,7 +109,9 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
 
             def run(img1, img2):
                 if not hasattr(run, "params"):
-                    if ckpt:
+                    if npz is not None:
+                        run.params = npz
+                    elif ckpt:
                         import torch
 
                         sd = torch.load(ckpt, map_location="cpu")
@@ -119,7 +138,9 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
 
             def run(img1, img2):
                 if not hasattr(run, "params"):
-                    if ckpt:
+                    if npz is not None:
+                        run.params = npz
+                    elif ckpt:
                         import torch
 
                         sd = torch.load(ckpt, map_location="cpu")
@@ -147,7 +168,9 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
 
             def run(img1, img2):
                 if not hasattr(run, "params"):
-                    if ckpt:
+                    if npz is not None:
+                        run.params = npz
+                    elif ckpt:
                         import torch
 
                         sd = torch.load(ckpt, map_location="cpu")
