@@ -33,3 +33,25 @@ def test_synthetic_gt_consistent_with_farneback(rng):
     flow = np.asarray(calc_optical_flow_farneback(g1, g2))
     inner = (slice(16, -16), slice(16, -16))
     assert epe(flow[inner], gt[inner]) < 0.4
+
+
+def test_npz_ckpt_roundtrip(tmp_path):
+    """run_eval --ckpt candidate.npz must reproduce the train_flow flat-npz
+    save format exactly (keys '/'-joined, values raw arrays)."""
+    import numpy as np
+    from flax.traverse_util import flatten_dict
+
+    from opticalflowcontainer_tpu.eval.run_eval import _npz_params
+
+    params = {"params": {"conv": {"kernel": np.arange(12.0).reshape(3, 4),
+                                  "bias": np.zeros(4)},
+                         "head": {"dense": {"kernel": np.ones((4, 2))}}}}
+    flat = flatten_dict(params["params"])
+    path = tmp_path / "cand.npz"
+    np.savez(path, **{"/".join(k): np.asarray(v) for k, v in flat.items()})
+
+    loaded = _npz_params(str(path))
+    flat2 = flatten_dict(loaded["params"])
+    assert set(flat2) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(flat2[k], flat[k])
