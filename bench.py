@@ -109,7 +109,7 @@ def main(argv=None):
     threading.Thread(
         target=_watchdog, daemon=True,
         args=(float(os.environ.get("BENCH_WATCHDOG_S",
-                                   "1500" if args.quick else "3000")),),
+                                   "1500" if args.quick else "3600")),),
     ).start()
 
     import jax.numpy as jnp
@@ -137,6 +137,8 @@ def main(argv=None):
     # expansions.  --batch N selects the independent-pairs mode instead.
     if args.clip is None and args.batch is None:
         args.clip = 5
+    if args.clip is not None and args.clip < 2:
+        raise SystemExit("--clip needs T >= 2 (T-1 fields per call)")
     B = args.batch or 2
     reps = args.reps or (4 if args.quick else 128)
     H, W = args.height, args.width
@@ -240,6 +242,28 @@ def main(argv=None):
         device_per_field = per_field  # --reps 1: no chain difference
         device_unreliable_ms = None
 
+    # publish the headline record to the watchdog BEFORE the EPE check: the
+    # check jits a fresh single-call program (a remote compile, the likeliest
+    # hang point) and a partial record must still carry the measured value
+    record = {
+        "metric": ("farneback_720p_fields_per_sec"
+                   if (H, W) == (720, 1280)
+                   else f"farneback_{H}p_fields_per_sec"),
+        "value": round(fields_per_sec, 2),
+        "unit": "fields/s",
+        "vs_baseline": round(fields_per_sec / BASELINE_FIELDS_PER_SEC, 4),
+        "per_field_ms": round(per_field * 1000, 2),
+        "device_per_field_ms": round(device_per_field * 1000, 3),
+        "device_fields_per_sec": round(1000.0 / (device_per_field * 1000), 2),
+        "batch": B if not args.clip else None,
+        "clip_frames": args.clip,
+    }
+    if device_unreliable_ms is not None:
+        # chain difference was non-physical (RTT jitter); device fields fell
+        # back to the wall number — the raw difference is recorded here
+        record["device_time_unreliable_ms"] = device_unreliable_ms
+    state["record"] = record  # in-place leg updates below stay visible
+
     epe = None
     if args.check_epe:
         import cv2
@@ -281,26 +305,8 @@ def main(argv=None):
         print(f"# per-field {per_field * 1000:.1f} ms wall / "
               f"{device_per_field * 1000:.2f} ms device (RTT-cancelled "
               f"chain difference)", file=sys.stderr)
-    record = {
-        "metric": ("farneback_720p_fields_per_sec"
-                   if (H, W) == (720, 1280)
-                   else f"farneback_{H}p_fields_per_sec"),
-        "value": round(fields_per_sec, 2),
-        "unit": "fields/s",
-        "vs_baseline": round(fields_per_sec / BASELINE_FIELDS_PER_SEC, 4),
-        "per_field_ms": round(per_field * 1000, 2),
-        "device_per_field_ms": round(device_per_field * 1000, 3),
-        "device_fields_per_sec": round(1000.0 / (device_per_field * 1000), 2),
-        "batch": B if not args.clip else None,
-        "clip_frames": args.clip,
-    }
     if epe is not None:
         record["epe_vs_cv2_px"] = round(epe, 5)
-    if device_unreliable_ms is not None:
-        # chain difference was non-physical (RTT jitter); device fields fell
-        # back to the wall number — the raw difference is recorded here
-        record["device_time_unreliable_ms"] = device_unreliable_ms
-    state["record"] = record  # watchdog now emits the filled record
 
     if not args.no_roofline:
         # HBM roofline: (a) measured streaming ceiling of this slice — an
@@ -335,10 +341,13 @@ def main(argv=None):
             farneback_bytes_per_field,
         )
 
+        # farneback_clip silently routes T<4 clips through the pairwise
+        # program (shape-specific XLA fusion blowup) — model the traffic of
+        # the program actually timed, not the requested mode
+        clip_eff = args.clip if (args.clip and args.clip >= 4) else None
         bytes_per_field = farneback_bytes_per_field(
             H, W, levels=fb_kw["levels"], pyr_scale=fb_kw["pyr_scale"],
-            iterations=fb_kw["iterations"],
-            clip_frames=args.clip if args.clip else None)
+            iterations=fb_kw["iterations"], clip_frames=clip_eff)
         record["hbm_ceiling_gbps"] = round(ceiling_gbps, 1)
         if bytes_per_field is not None:
             achieved = bytes_per_field / device_per_field / 1e9
@@ -448,7 +457,10 @@ def main(argv=None):
         dur = 3.0 if not args.quick else 1.5
         t_start_ms = time.time()
         fields0 = msf2.fields
-        t = 0.0
+        # continue stamps AFTER the warm-up's (warm-up reached 2/60): a
+        # restart at 0.0 makes the boundary pair's dt negative -> one
+        # clamped-dt velocity spike on the bus
+        t = 3.0 / 60.0
         k = 0
         while time.time() < t_start_ms + dur:
             for s in range(2):

@@ -1064,8 +1064,11 @@ def farneback_clip(frames: jax.Array, **kwargs) -> jax.Array:
     # validate up front: the clip branch reads kwargs via .get and would
     # otherwise silently ignore a typo that the pairwise fallback (which
     # forwards **kwargs to calc_optical_flow_farneback) rejects
+    # 'flow' (OPTFLOW_USE_INITIAL_FLOW seed) always routes through the
+    # pairwise fallback (the TPU gate below excludes that flag) but must
+    # stay ACCEPTED here — it was valid before this validation existed
     supported = {"pyr_scale", "levels", "winsize", "iterations", "poly_n",
-                 "poly_sigma", "flags"}
+                 "poly_sigma", "flags", "flow"}
     unknown = set(kwargs) - supported
     if unknown:
         raise TypeError(
@@ -1091,4 +1094,12 @@ def farneback_clip(frames: jax.Array, **kwargs) -> jax.Array:
             bool(kwargs.get("flags", 0) & OPTFLOW_FARNEBACK_GAUSSIAN),
             frames_b=frames.astype(jnp.float32))
         return jnp.stack([u, v], axis=-1)
+    if kwargs.get("flow") is not None and frames.ndim == 3:
+        # an unbatched [H, W, 2] initial-flow seed applies to every field of
+        # the clip — broadcast it to the T-1 pairwise-batched pairs (the
+        # batched program needs flow shaped batch + (H, W, 2))
+        f0 = jnp.asarray(kwargs["flow"])
+        if f0.ndim == 3:
+            kwargs = dict(kwargs, flow=jnp.broadcast_to(
+                f0, (frames.shape[0] - 1,) + f0.shape))
     return farneback_batched(frames[:-1], frames[1:], **kwargs)

@@ -543,8 +543,13 @@ def block_warp_farneback_update(
     H, W = Hp - 2 * pad_y, Wp - 2 * pad_x
     if r0_from_src:
         assert r0 is None
-        assert phases == 2 and pad_y % 8 == 0 and (pad_x - 64) % 128 == 0, (
-            "R0-from-source needs tile-aligned offsets", pad, phases)
+        # the kernel promises pl.multiple_of(pad_y + ii*bh, 8) and
+        # pl.multiple_of(pad_x - 64 + jj*bw, 128) for ALL blocks, which
+        # needs bh/bw tile-aligned too — a sweep block like (48,192) would
+        # otherwise pass and silently miscompile the R0 DMA origin
+        assert phases == 2 and pad_y % 8 == 0 and (pad_x - 64) % 128 == 0 \
+            and bh % 8 == 0 and bw % 128 == 0, (
+            "R0-from-source needs tile-aligned offsets", pad, phases, block)
     else:
         assert r0.shape == (B, C, H, W), (r0.shape, (B, C, H, W))
     assert H % bh == 0 and W % bw == 0, (H, W, block)

@@ -294,6 +294,7 @@ def measure_stream_latency(
             lat.append(t_done - t_arrive)
 
     worker = None
+    drain_err: list = []
     if drain_async:
         import queue as _queue
         import threading
@@ -301,16 +302,23 @@ def measure_stream_latency(
         q: _queue.Queue = _queue.Queue()
 
         def _drainer():
+            # a sync error (transient FAILED_PRECONDITION, tunnel
+            # XlaRuntimeError) must not kill the thread SILENTLY: record it
+            # so held_rate fails instead of being computed from the few
+            # frames drained before the death
             batch = []
-            while True:
-                item = q.get()
-                if item is None:
-                    drain(batch)
-                    return
-                batch.append(item)
-                if len(batch) >= sync_every:
-                    drain(batch)
-                    batch = []
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        drain(batch)
+                        return
+                    batch.append(item)
+                    if len(batch) >= sync_every:
+                        drain(batch)
+                        batch = []
+            except Exception as e:
+                drain_err.append(repr(e))
 
         worker = threading.Thread(target=_drainer, daemon=True)
         worker.start()
@@ -354,6 +362,7 @@ def measure_stream_latency(
             "mean_ms": float("nan"), "sustained_fps": sustained,
             "target_fps": fps, "held_rate": False, "sync_every": sync_every,
             "drain_async": drain_async, "drainer_hung": drainer_hung,
+            "drainer_error": drain_err[0] if drain_err else None,
             "n_frames": len(frames) - 1, "n_measured": 0,
         }
     if drain_async:
@@ -363,7 +372,11 @@ def measure_stream_latency(
         q4 = max(len(raw) // 4, 1)
         diverged = (raw[-q4:].mean()
                     > raw[:q4].mean() + 2.0 * 1000.0 / fps)
-        held = bool(sustained >= 0.97 * fps and not diverged)
+        # every frame must actually have been measured: a drainer that died
+        # mid-run leaves lat short, and the producer self-paces so
+        # `sustained` alone would still look healthy
+        complete = raw.size == len(frames) - 1 and not drain_err
+        held = bool(sustained >= 0.97 * fps and not diverged and complete)
     else:
         # synchronous drains: the typical frame's velocity must land within
         # its sync_every camera periods; occasional p99 spikes are
@@ -381,6 +394,7 @@ def measure_stream_latency(
         "sync_every": sync_every,
         "drain_async": drain_async,
         "drainer_hung": drainer_hung,
+        "drainer_error": drain_err[0] if drain_err else None,
         "n_frames": len(frames) - 1,
         "n_measured": int(raw.size),
     }

@@ -65,6 +65,15 @@ class NodeParams:
     net_width: int | None = None
     net_height: int | None = None
 
+    def __post_init__(self):
+        # setting only one of net_width/net_height would silently run at
+        # frame size (the resize guard needs both) — fail loudly instead
+        if (self.net_width is None) != (self.net_height is None):
+            raise ValueError(
+                "net_width and net_height must be set together "
+                f"(got net_width={self.net_width}, "
+                f"net_height={self.net_height})")
+
 
 class FlowNode:
     """image in -> velocity out.
