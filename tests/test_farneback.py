@@ -80,3 +80,36 @@ def test_batched_matches_single(rng):
     batched = np.asarray(farneback_batched(prev, nxt, **args))
     single = np.asarray(calc_optical_flow_farneback(prev[1], nxt[1], **args))
     np.testing.assert_allclose(batched[1], single, atol=1e-5)
+
+
+def test_clip_initial_flow_matches_pairwise():
+    """farneback_clip must accept the 'flow' initial-flow kwarg (routes via
+    the pairwise fallback) and broadcast an unbatched [H, W, 2] seed to the
+    T-1 pairs — matching per-pair calls with the same seed exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from opticalflowcontainer_tpu.classical.farneback import (
+        OPTFLOW_USE_INITIAL_FLOW,
+        calc_optical_flow_farneback,
+        farneback_clip,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.uniform(0, 255, (40, 64)).astype(np.float32)
+    fr = np.stack([base, np.roll(base, 1, 1), np.roll(base, 2, 1)])
+    seed = jnp.ones((40, 64, 2), jnp.float32) * 0.5
+
+    clip = farneback_clip(jnp.asarray(fr), flow=seed,
+                          flags=OPTFLOW_USE_INITIAL_FLOW)
+    assert clip.shape == (2, 40, 64, 2)
+    for k in range(2):
+        pair = calc_optical_flow_farneback(
+            jnp.asarray(fr[k]), jnp.asarray(fr[k + 1]), flow=seed,
+            flags=OPTFLOW_USE_INITIAL_FLOW)
+        assert float(jnp.abs(clip[k] - pair).max()) == 0.0
+
+    import pytest
+
+    with pytest.raises(TypeError, match="unexpected keyword"):
+        farneback_clip(jnp.asarray(fr), winsze=15)

@@ -128,6 +128,43 @@ def test_measure_stream_latency_drain_async_smoke():
     assert isinstance(out["held_rate"], bool)
 
 
+def test_measure_stream_latency_drainer_death_fails_held():
+    """A drainer-thread exception mid-run (transient sync error through the
+    tunnel) must fail held_rate and surface drainer_error — not silently
+    compute held from the few frames drained before the death."""
+
+    class _Bomb:
+        def __init__(self, k):
+            self.k = k
+
+        def __float__(self):
+            if self.k >= 2:
+                raise RuntimeError("synthetic sync failure")
+            return 0.0
+
+    class _FakeStream:
+        def __init__(self):
+            self.k = 0
+
+        def warmup(self, frame, mask=None):
+            pass
+
+        def reset(self):
+            self.k = 0
+
+        def step(self, frame, mask=None):
+            self.k += 1
+            return _Bomb(self.k)
+
+    out = measure_stream_latency(
+        height=16, width=16, fps=500.0, n_frames=10, paced=False,
+        sync_every=1, drain_async=True, stream=_FakeStream()
+    )
+    assert out["held_rate"] is False
+    assert out["drainer_error"] is not None
+    assert out["n_measured"] < out["n_frames"]
+
+
 def test_fused_model_stream_matches_unfused_backend():
     """Learned-model fused path (model estimate + aggregation on device)
     publishes the same velocities as make_model_backend + host aggregation."""
