@@ -95,10 +95,16 @@ class AdaptivePreprocessor:
 def make_adaptive_backend(backend, params: AdaptiveParams | None = None):
     """Wrap a flow backend with adaptive pre/post processing."""
     proc = AdaptivePreprocessor(params)
+    last = [None, None]  # [frame ref, preprocessed] — prev is last call's cur
 
     def wrapped(prev, cur, dt):
-        prev_p = proc.preprocess(prev)
+        # streaming callers pass last call's cur as this call's prev —
+        # reuse its preprocessed form instead of running CLAHE/bilateral
+        # twice per frame on the hot path (the kept reference makes the
+        # identity check safe against id() reuse)
+        prev_p = last[1] if last[0] is prev else proc.preprocess(prev)
         cur_p = proc.preprocess(cur)
+        last[0], last[1] = cur, cur_p
         flow = backend(prev_p, cur_p, dt)
         return proc.postprocess(flow, cur)
 

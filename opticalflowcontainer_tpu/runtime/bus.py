@@ -22,6 +22,8 @@ import os
 import threading
 from typing import Callable, Sequence
 
+_NO_MSG = object()  # latched-message sentinel (None is a valid message)
+
 
 class Subscription:
     def __init__(self, topic: str, callback, depth: int, direct: bool):
@@ -97,8 +99,12 @@ class Bus:
         sub = Subscription(topic, callback, depth, direct)
         with self._lock:
             self._subs.setdefault(topic, []).append(sub)
-            if topic in self._latched:
-                sub._deliver(self._latched[topic])
+            latched = self._latched.get(topic, _NO_MSG)
+        # deliver the latched message OUTSIDE the lock (publish() already
+        # does): a direct callback that publishes would otherwise deadlock
+        # on this non-reentrant lock
+        if latched is not _NO_MSG:
+            sub._deliver(latched)
         return sub
 
     def publish(self, topic: str, msg, latch: bool = False) -> None:

@@ -32,12 +32,23 @@ from ..core.color import bgr_to_gray
 
 
 def _aggregate_u(u, mask, aggregate: str, masked: bool):
+    u = u.astype(jnp.float32)
     if masked:
+        # all-False mask falls back to the full frame, matching
+        # VelocityEstimator.update's `mask.any()` branch (velocity.py) —
+        # without it an empty junction mask yields NaN (median) / 0 (mean)
+        # and poisons the smoothing deque
+        any_m = jnp.any(mask)
         if aggregate == "mean":
             m = mask.astype(jnp.float32)
-            return jnp.sum(u * m) / jnp.maximum(jnp.sum(m), 1.0)
-        return jnp.nanmedian(jnp.where(mask, u, jnp.nan))
-    return jnp.mean(u) if aggregate == "mean" else jnp.median(u)
+            masked_val = jnp.sum(u * m) / jnp.maximum(jnp.sum(m), 1.0)
+            full_val = jnp.mean(u)
+        else:
+            masked_val = jnp.nanmedian(jnp.where(mask, u, jnp.nan))
+            full_val = jnp.median(u)
+        return jnp.nan_to_num(jnp.where(any_m, masked_val, full_val))
+    du = jnp.mean(u) if aggregate == "mean" else jnp.median(u)
+    return jnp.nan_to_num(du)
 
 
 @functools.partial(
@@ -153,16 +164,9 @@ class FusedModelStream:
             if bgr_to_rgb:
                 f = f[..., ::-1]
             flow = estimate_fn(model, params, prev_rgb, f)
-            u = flow[..., 0].astype(jnp.float32)
-            if masked:
-                if aggregate == "mean":
-                    m = mask.astype(jnp.float32)
-                    du = jnp.sum(u * m) / jnp.maximum(jnp.sum(m), 1.0)
-                else:
-                    du = jnp.nanmedian(jnp.where(mask, u, jnp.nan))
-            else:
-                du = jnp.mean(u) if aggregate == "mean" else jnp.median(u)
-            du = jnp.nan_to_num(du)  # fp16/bf16 scrub (reference neuflow_node.py:145)
+            # shared helper: masked mean/median with all-False fallback +
+            # nan_to_num scrub (reference neuflow_node.py:145)
+            du = _aggregate_u(flow[..., 0], mask, aggregate, masked)
             return f, du
 
         self._step_fn = _step

@@ -10,6 +10,7 @@ batched result.  Streams must share a resolution (static shapes; one compile).
 """
 from __future__ import annotations
 
+import functools
 import threading
 import time
 from typing import Callable, Sequence
@@ -223,14 +224,18 @@ def make_stateful_batched_fused_farneback(n_streams: int,
         return (jnp.mean(u, axis=(1, 2)) if aggregate == "mean"
                 else jnp.median(u.reshape(u.shape[0], -1), axis=1))
 
-    @jax.jit
+    # donate the planes state: without donation XLA copies the whole
+    # [n_streams+1, 5, rows, cols] state per level every batch just to
+    # update the few ready rows (the caller strictly threads state ->
+    # state2, never reusing the old buffers)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def steady(state, cur, idx):
         R0 = tuple(L[idx] for L in state)
         flow, newp = fb.farneback_stream_step(R0, cur, **kwargs)
         state2 = tuple(L.at[idx].set(P) for L, P in zip(state, newp))
         return state2, _du(flow[..., 0])
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def seed_step(state, prev, cur, idx, fresh):
         seeded = fb.farneback_stream_planes(prev, **kwargs)
         R0 = tuple(

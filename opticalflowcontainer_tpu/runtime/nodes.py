@@ -147,6 +147,9 @@ class FlowNode:
     def start_stream(self, source):
         """Producer/consumer: capture thread fills a bounded queue (dropping
         the newest frame on overflow), inference thread drains it."""
+        # _stop latches when a source exhausts (or on stop()); clear it so a
+        # second start_stream on the same node processes frames again
+        self._stop.clear()
 
         def producer():
             # pace at the source's fps, like a real camera delivers frames

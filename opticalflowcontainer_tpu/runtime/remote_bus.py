@@ -205,8 +205,11 @@ class _BridgeBase:
         while not self._stop.is_set():
             try:
                 item = _recv_msg(sock)
-            except (OSError, ValueError, KeyError, TypeError):
-                break  # disconnected or malformed peer data: drop the peer
+            except (OSError, ValueError, KeyError, TypeError, struct.error):
+                # disconnected or malformed peer data: drop the peer
+                # (struct.error is NOT a ValueError — a <4-byte payload
+                # would otherwise kill the pump without the cleanup below)
+                break
             if item is None:
                 break
             topic, msg = item

@@ -110,7 +110,12 @@ class SyntheticCamera(_BaseSource):
         # window slides LEFT over the canvas as idx grows => scene content
         # appears to move RIGHT: positive u, positive vx, matching the sign of
         # ``velocity_mps``.
-        shift = self._travel - idx * self.px_per_frame
+        # start at the end of the canvas that leaves idx*|ppf| of travel in
+        # the window's direction: positive velocity walks shift travel -> 0,
+        # negative walks 0 -> travel (a fixed positive start would clamp
+        # after ~2 frames and freeze the scene while GT stays nonzero)
+        start = self._travel if self.px_per_frame >= 0 else 0
+        shift = start - idx * self.px_per_frame
         x0 = int(np.floor(shift))
         frac = shift - x0
         x0 = max(min(x0, self._canvas.shape[1] - self.width - 2), 0)

@@ -6,12 +6,23 @@ from __future__ import annotations
 import numpy as np
 
 
-def flow_to_bgr(flow: np.ndarray, max_mag: float | None = None) -> np.ndarray:
-    """Dense HSV flow visualization as uint8 BGR (device-side math via
-    core.color.flow_to_hsv_rgb when given a jax array)."""
-    from ..core.color import flow_to_hsv_rgb
+_flow_to_hsv_jit = None
 
-    rgb = np.asarray(flow_to_hsv_rgb(np.asarray(flow, np.float32), max_mag))
+
+def flow_to_bgr(flow: np.ndarray, max_mag: float | None = None) -> np.ndarray:
+    """Dense HSV flow visualization as uint8 BGR.  The conversion is jitted
+    (one dispatch per frame, compiled once per shape/max_mag): eager jnp ops
+    through the remote TPU backend cost ~ms each and the un-jitted form ran
+    ~30 of them per debug frame."""
+    global _flow_to_hsv_jit
+    if _flow_to_hsv_jit is None:
+        import jax
+
+        from ..core.color import flow_to_hsv_rgb
+
+        _flow_to_hsv_jit = jax.jit(flow_to_hsv_rgb, static_argnums=(1,))
+
+    rgb = np.asarray(_flow_to_hsv_jit(np.asarray(flow, np.float32), max_mag))
     return (rgb[..., ::-1] * 255).astype(np.uint8)
 
 

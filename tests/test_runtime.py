@@ -273,3 +273,63 @@ def test_velocity_update_from_displacement_smooths_and_clamps():
     assert vx == 1.0
     vx, sm = est.update_from_displacement(0.0, -1.0)  # dt guard
     assert vx == 0.0 and np.isclose(sm, 2.0 / 3.0)
+
+
+def test_bus_latched_delivery_releases_lock():
+    """A direct subscriber callback may publish: latched delivery in
+    subscribe() must happen OUTSIDE the bus lock (publish() already does) or
+    the constructor-time callback deadlocks on the non-reentrant lock."""
+    bus = Bus(namespace="")
+    bus.publish("/a", 42, latch=True)
+    got_b = []
+    bus.subscribe("/b", got_b.append)
+    bus.subscribe("/a", lambda msg: bus.publish("/b", msg + 1))
+    assert got_b == [43]
+
+
+def test_synthetic_camera_negative_velocity_keeps_moving():
+    """Negative velocity_mps must keep translating for the whole clip (the
+    old fixed start clamped after ~2 frames, freezing the scene while the
+    advertised ground truth stayed nonzero)."""
+    cam = SyntheticCamera(width=64, height=48, velocity_mps=-0.05,
+                          n_frames=30)
+    f0 = cam.frame_at(0).astype(np.float32)
+    f10 = cam.frame_at(10).astype(np.float32)
+    f20 = cam.frame_at(20).astype(np.float32)
+    assert np.abs(f10 - f0).mean() > 1.0
+    assert np.abs(f20 - f10).mean() > 1.0
+
+
+def test_flow_node_stream_restartable():
+    """start_stream must be callable again after the first source exhausts
+    (the stop event latched forever before the fix)."""
+    bus = Bus(namespace="restart")
+    node = FlowNode(make_farneback_backend(),
+                    NodeParams(name="t", fps=200.0, width=64, height=48),
+                    bus=bus)
+    for expect_growth in (False, True):
+        before = node.frames_processed
+        cam = SyntheticCamera(width=64, height=48, velocity_mps=0.05,
+                              n_frames=4, fps=200.0, bus=bus)
+        node.start_stream(cam)
+        node.wait()
+        if expect_growth:
+            assert node.frames_processed > before
+
+
+def test_fused_aggregate_empty_mask_falls_back_to_full_frame():
+    """All-False mask -> full-frame aggregate (matching VelocityEstimator's
+    mask.any() branch), never NaN/0."""
+    import jax.numpy as jnp
+
+    from opticalflowcontainer_tpu.runtime.fused import _aggregate_u
+
+    u = jnp.arange(12.0).reshape(3, 4)
+    empty = jnp.zeros((3, 4), bool)
+    for agg in ("mean", "median"):
+        val = float(_aggregate_u(u, empty, agg, True))
+        full = float(jnp.mean(u) if agg == "mean" else jnp.median(u))
+        assert abs(val - full) < 1e-6
+    # a real mask still masks
+    m = jnp.zeros((3, 4), bool).at[0, 0].set(True)
+    assert float(_aggregate_u(u, m, "mean", True)) == 0.0
