@@ -8,6 +8,7 @@ step-numbered directories and latest-resume.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 
@@ -28,7 +29,12 @@ def save_checkpoint(ckpt_dir: str, state, step: int | None = None) -> str:
 def latest_checkpoint(ckpt_dir: str) -> str | None:
     if not os.path.isdir(ckpt_dir):
         return None
-    steps = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("step_"))
+    # exact-name match only: an interrupted orbax save leaves an UNCOMMITTED
+    # `step_XXXXXXXX.orbax-checkpoint-tmp-<ts>` dir that both startswith
+    # "step_" and sorts after the committed dir of the same step — restoring
+    # it would crash or load partial state, so it must never be selected
+    steps = sorted(d for d in os.listdir(ckpt_dir)
+                   if re.fullmatch(r"step_\d{8}", d))
     return os.path.join(os.path.abspath(ckpt_dir), steps[-1]) if steps else None
 
 

@@ -22,6 +22,10 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
     import cv2
     import numpy as np
 
@@ -34,6 +38,12 @@ def main(argv=None):
     if args.roi is None:
         args.roi = [W // 3, H // 3, W // 3, H // 3]
     x, y, w, h = args.roi
+    if not (w > 0 and h > 0 and 0 <= x and 0 <= y
+            and x + w <= W and y + h <= H):
+        raise SystemExit(
+            f"--roi {x} {y} {w} {h} is not inside the {W}x{H} image "
+            "(numpy would silently clamp the slice and the reported speed "
+            "would cover a different region, or NaN on an empty one)")
 
     flow = np.asarray(estimate_pair(img1, img2, args.model, args.ckpt, args.cpu))
     full_mu = flow.reshape(-1, 2).mean(axis=0)

@@ -65,7 +65,10 @@ def summarize_accel(paths: list[str]) -> list[dict]:
                 per_device.setdefault(dev, []).append(in_use_f)
                 peaks[dev] = max(peaks.get(dev, 0.0), peak_f)
                 if limit not in ("None", ""):
-                    limits[dev] = float(limit)
+                    try:
+                        limits[dev] = float(limit)
+                    except ValueError:
+                        pass  # torn/garbled row — tolerate like in_use/peak
     out = []
     for dev, vals in per_device.items():
         out.append({
@@ -100,7 +103,10 @@ def main(argv=None):
 
     hz = os.sysconf("SC_CLK_TCK")
     files = {}
-    last: dict[int, float] = {}
+    # keyed by (name, pid) like `files`: a process whose cmdline matches two
+    # name substrings is sampled once per name per tick, and a bare-pid key
+    # would give the second sample a ~0 wall-time delta (0% or 1000%+ spikes)
+    last: dict[tuple[str, int], tuple[int, float]] = {}
     t_end = time.time() + args.duration
     while time.time() < t_end:
         for name in args.names:
@@ -113,16 +119,21 @@ def main(argv=None):
                     continue
                 key = (name, pid)
                 if key not in files:
-                    path = os.path.join(args.out_dir, f"cpu_usage_{name}_{pid}.log")
+                    os.makedirs(args.out_dir, exist_ok=True)
+                    safe = "".join(c if c.isalnum() or c in "-._" else "_"
+                                   for c in name)
+                    path = os.path.join(args.out_dir,
+                                        f"cpu_usage_{safe}_{pid}.log")
                     files[key] = open(path, "w")
                     files[key].write("timestamp,cpu_pct,rss_mb\n")
                 now = time.time()
                 cpu_pct = 0.0
-                if pid in last:
-                    dt_ticks = ticks - last[pid][0]
-                    dt_wall = now - last[pid][1]
-                    cpu_pct = 100.0 * dt_ticks / hz / max(dt_wall, 1e-6)
-                last[pid] = (ticks, now)
+                if key in last:
+                    dt_ticks = ticks - last[key][0]
+                    dt_wall = now - last[key][1]
+                    if dt_ticks >= 0:  # pid reuse makes the delta meaningless
+                        cpu_pct = 100.0 * dt_ticks / hz / max(dt_wall, 1e-6)
+                last[key] = (ticks, now)
                 files[key].write(f"{now:.3f},{cpu_pct:.1f},{rss / 1e6:.1f}\n")
                 files[key].flush()
         time.sleep(args.interval)

@@ -12,7 +12,9 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=150)
     ap.add_argument("--out-avi", default=None)
     ap.add_argument("--out-dir", default=None)
-    ap.add_argument("--fps", type=float, default=30.0)
+    ap.add_argument("--fps", type=float, default=None,
+                    help="output AVI fps (default: the source's fps when it "
+                         "reports one, else 30)")
     args = ap.parse_args(argv)
 
     import os
@@ -23,6 +25,10 @@ def main(argv=None):
     cap = cv2.VideoCapture(src)
     if not cap.isOpened():
         raise SystemExit(f"cannot open source {args.source}")
+    if args.fps is None:
+        # write at the source's native rate or playback speed changes;
+        # cameras often report 0 here, fall back to 30 like the reference
+        args.fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
     writer = None
     n = 0
     try:
@@ -36,6 +42,11 @@ def main(argv=None):
                         args.out_avi, cv2.VideoWriter_fourcc(*"XVID"), args.fps,
                         (frame.shape[1], frame.shape[0]),
                     )
+                    if not writer.isOpened():
+                        # cv2.VideoWriter fails SILENTLY (missing codec or
+                        # directory) and every write() becomes a no-op
+                        raise SystemExit(
+                            f"cannot open video writer for {args.out_avi}")
                 writer.write(frame)
             if args.out_dir:
                 os.makedirs(args.out_dir, exist_ok=True)

@@ -1,63 +1,35 @@
 """Two-image flow CLI: estimate flow between two stills, write .flo and/or an
 HSV visualization PNG (reference pytorch_pwc_master/run.py equivalent).
 
-Backends: farneback (default, no weights needed) or any model with a
-checkpoint (--model pwcnet --ckpt path.pytorch).
+Backends: every method the eval harness knows (farneback — default, no
+weights needed — raft, raft_large, pwcnet, neuflow, liteflownet,
+liteflownet3), with packaged TPU-trained weights by default, a flat-npz
+training candidate via ``--ckpt cand.npz``, or a torch checkpoint via
+``--ckpt path.pytorch`` where a converter exists.  Method construction is
+shared with ``eval/run_eval.py`` so the two CLIs can never drift.
 """
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def estimate_pair(img1, img2, model_name: str = "farneback", ckpt: str | None = None,
                   on_cpu: bool = False):
+    """Flow [H,W,2] float32 from two BGR uint8 images (cv2.imread layout)."""
     import numpy as np
 
     if on_cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    if model_name == "farneback":
-        from ..classical import calc_optical_flow_farneback
-        from ..core.color import bgr_to_gray
+    from ..eval.run_eval import _make_method
 
-        g1 = np.asarray(bgr_to_gray(img1.astype(np.float32)))
-        g2 = np.asarray(bgr_to_gray(img2.astype(np.float32)))
-        return np.asarray(calc_optical_flow_farneback(g1, g2))
-
-    import jax
-
-    i1 = img1.astype("float32") / 255.0
-    i2 = img2.astype("float32") / 255.0
-    if model_name == "pwcnet":
-        from ..models import PWCNet
-        from ..models.pwcnet import estimate
-        from ..models.convert import convert_pwcnet
-
-        model = PWCNet()
-        params = _load(convert_pwcnet, ckpt, model, i1, i2)
-        return estimate(model, params, i1, i2)
-    if model_name == "raft":
-        from ..models import RAFTSmall
-        from ..models.raft import estimate as raft_estimate
-
-        model = RAFTSmall()
-        params = model.init(jax.random.PRNGKey(0), i1[:64, :64], i2[:64, :64], 2)
-        return raft_estimate(model, params, i1, i2)
-    raise SystemExit(f"unknown model {model_name}")
-
-
-def _load(converter, ckpt, model, i1, i2):
-    import jax
-
-    if ckpt:
-        import torch
-
-        sd = torch.load(ckpt, map_location="cpu")
-        if isinstance(sd, dict) and "model" in sd:
-            sd = sd["model"]
-        return converter({k: v.numpy() for k, v in sd.items()})
-    return model.init(jax.random.PRNGKey(0), i1, i2)
+    run = _make_method(model_name, ckpt, quick=False)
+    # the eval methods take RGB floats in [0, 1]
+    i1 = np.ascontiguousarray(img1[..., 2::-1]).astype(np.float32) / 255.0
+    i2 = np.ascontiguousarray(img2[..., 2::-1]).astype(np.float32) / 255.0
+    return np.asarray(run(i1, i2))
 
 
 def main(argv=None):
@@ -70,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--out-png", default=None)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
+
+    # remote TPU compiles are 20-300 s; persistent cache makes repeat CLI
+    # invocations hit compiled programs (same policy as bench.py)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
     import cv2
     import numpy as np

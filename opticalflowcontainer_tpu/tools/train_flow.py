@@ -82,7 +82,19 @@ def make_affine_batch(rng, B=8, H=96, W=128, max_t=16.0, max_angle=8.0,
     import cv2
     import numpy as np
 
-    pad = int(np.ceil(max_t)) + 16
+    # canvas margin must cover the worst-case INVERSE-warp displacement of a
+    # crop pixel (warpAffine samples src at M^-1 p), or zero-border pixels
+    # leak into img2 while flow[] still claims exact affine motion: for
+    # p = c + r, |M^-1 p - p| <= |(1/sc) R^-1 - I| |r| + |t|/sc, maximized at
+    # the crop corner and the scale-range endpoints
+    diag = 0.5 * float(np.hypot(H, W))
+    ang_r = float(np.deg2rad(max_angle))
+    rot_gain = max(
+        float(np.sqrt(1.0 + k * k - 2.0 * k * np.cos(ang_r)))
+        for k in (1.0 / min(scales), 1.0 / max(scales))
+    )
+    pad = int(np.ceil(rot_gain * diag
+                      + np.sqrt(2.0) * max_t / min(scales))) + 4
     img1 = np.zeros((B, H, W, 3), np.float32)
     img2 = np.zeros((B, H, W, 3), np.float32)
     flow = np.zeros((B, H, W, 2), np.float32)
@@ -223,6 +235,10 @@ def main(argv=None):
 
     name = args.model
     out = args.out or os.path.join(WEIGHTS_DIR, f"{name}_synth.npz")
+    if not out.endswith(".npz"):
+        # np.savez appends .npz to a bare path, which would silently break
+        # the --resume os.path.exists check and the final "weights ->" message
+        out += ".npz"
     ckpt_dir = args.ckpt_dir or f"checkpoints/{name}_synth"
     rng = np.random.default_rng(args.seed)
     warmup = min(args.warmup, max(args.steps // 10, 1))

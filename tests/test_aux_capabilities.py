@@ -77,6 +77,35 @@ def test_run_pair_cli(tmp_path, rng):
     assert os.path.exists(out_png)
 
 
+def test_run_pair_delegates_to_eval_methods(monkeypatch, rng):
+    """estimate_pair must route EVERY model through the shared eval method
+    factory (so --ckpt / packaged weights are honored; the old raft branch
+    silently ran random-init params) and convert BGR uint8 -> RGB [0,1]."""
+    from opticalflowcontainer_tpu.eval import run_eval
+    from opticalflowcontainer_tpu.tools.run_pair import estimate_pair
+
+    seen = {}
+
+    def fake_make(name, ckpt, quick):
+        seen.update(name=name, ckpt=ckpt)
+
+        def run(i1, i2):
+            seen["rgb01"] = (i1.dtype == np.float32 and i1.max() <= 1.0)
+            # input was BGR with a hot blue channel -> RGB puts it last
+            seen["channel_order_ok"] = i1[..., 2].mean() > i1[..., 0].mean()
+            return np.zeros(i1.shape[:2] + (2,), np.float32)
+
+        return run
+
+    monkeypatch.setattr(run_eval, "_make_method", fake_make)
+    img = np.zeros((24, 32, 3), np.uint8)
+    img[..., 0] = 200  # BGR blue
+    out = estimate_pair(img, img, "raft", "cand.npz")
+    assert seen == {"name": "raft", "ckpt": "cand.npz", "rgb01": True,
+                    "channel_order_ok": True}
+    assert out.shape == (24, 32, 2)
+
+
 def test_fish_speed_cli(tmp_path, rng, capsys):
     import cv2
 

@@ -115,6 +115,11 @@ def test_checkpoint_roundtrip(tmp_path):
     save_checkpoint(d, state, step=3)
     save_checkpoint(d, state._replace(step=state.step + 7), step=7)
     assert latest_checkpoint(d).endswith("step_00000007")
+    # an interrupted orbax save leaves an uncommitted tmp dir that sorts
+    # after the committed one — it must never be selected for restore
+    (tmp_path / "ckpts" / "step_00000007.orbax-checkpoint-tmp-1234").mkdir()
+    (tmp_path / "ckpts" / "step_00000009.orbax-checkpoint-tmp-9").mkdir()
+    assert latest_checkpoint(d).endswith("step_00000007")
     restored = restore_checkpoint(d, state)
     leaves0 = jax.tree_util.tree_leaves(state.params)
     leaves1 = jax.tree_util.tree_leaves(restored.params)

@@ -72,6 +72,50 @@ def test_affine_batch_ground_truth_consistent():
         assert float(err.mean()) < 0.02, err.mean()
 
 
+def test_affine_batch_pad_covers_extremal_inverse_warp():
+    """The canvas margin must cover the worst-case inverse-warp displacement
+    (rotation/scale term grows with image size): with warpAffine's border
+    forced to NaN, an extremal parameter draw at 128x192 must leak no border
+    pixel into img2.  The old size-independent pad (ceil(max_t)+16) leaked
+    543 corrupted-supervision pixels on this exact draw."""
+    import cv2
+
+    import opticalflowcontainer_tpu.tools.train_flow as tf
+
+    class ExtremalRng:
+        """Forces ang=+8, sc=0.92, t=(+16,+16); other draws stay random."""
+
+        def __init__(self, seed=0):
+            self._inner = np.random.default_rng(seed)
+
+        def uniform(self, low=0.0, high=1.0, size=None):
+            if (low, high) == (-8.0, 8.0) and size is None:
+                return 8.0
+            if (low, high) == (0.92, 1.1) and size is None:
+                return 0.92
+            if (low, high) == (-16.0, 16.0) and size == 2:
+                return np.array([16.0, 16.0])
+            return self._inner.uniform(low, high, size)
+
+        def normal(self, *a, **k):
+            return self._inner.normal(*a, **k)
+
+    orig_wa = cv2.warpAffine
+
+    def nan_wa(src, M, dsize, *a, **k):
+        k.setdefault("borderValue", float("nan"))
+        return orig_wa(src, M, dsize, *a, **k)
+
+    cv2.warpAffine = nan_wa
+    try:
+        b = tf.make_affine_batch(ExtremalRng(), B=1, H=128, W=192,
+                                 photometric=False)
+    finally:
+        cv2.warpAffine = orig_wa
+    assert int(np.isnan(b["img2"]).sum()) == 0
+    assert int(np.isnan(b["img1"]).sum()) == 0
+
+
 def test_affine_batch_mesh_and_color_augmentation():
     """--mesh-prob / --color-prob: mesh overlay keeps the GT exact (drawn
     before the affine warp), colorization makes channels differ while both
