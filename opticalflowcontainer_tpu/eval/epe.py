@@ -9,13 +9,19 @@ def epe(flow: np.ndarray, gt: np.ndarray, valid: np.ndarray | None = None) -> fl
     d = np.linalg.norm(np.asarray(flow) - np.asarray(gt), axis=-1)
     if valid is not None:
         d = d[np.asarray(valid, bool)]
-    return float(d.mean())
+    return float(d.mean()) if d.size else float("nan")
 
 
 def epe_stats(flow, gt, valid=None) -> dict:
     d = np.linalg.norm(np.asarray(flow) - np.asarray(gt), axis=-1)
     if valid is not None:
         d = d[np.asarray(valid, bool)]
+    if d.size == 0:
+        # e.g. a KITTI flow_occ frame with an all-zero valid channel:
+        # NaN-valued stats instead of np.percentile raising on empty
+        nan = float("nan")
+        return {"epe": nan, "p50": nan, "p95": nan,
+                "1px": nan, "3px": nan, "5px": nan}
     return {
         "epe": float(d.mean()),
         "p50": float(np.percentile(d, 50)),
@@ -35,4 +41,4 @@ def outlier_rate(flow, gt, valid=None, abs_thresh: float = 3.0, rel_thresh: floa
     out = (d > abs_thresh) & (d > rel_thresh * mag)
     if valid is not None:
         out = out[np.asarray(valid, bool)]
-    return float(out.mean())
+    return float(out.mean()) if out.size else float("nan")

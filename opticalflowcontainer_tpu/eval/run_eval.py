@@ -12,16 +12,58 @@ import time
 
 
 def _npz_params(path: str):
-    """Flax params from a flat-npz checkpoint at an explicit path (the
-    tools/train_flow.py save format) — lets ``--ckpt candidate.npz`` evaluate
-    a training candidate for ANY learned method without touching the
-    packaged weights under models/weights/."""
-    import numpy as np
-    from flax.traverse_util import unflatten_dict
+    """Flax params from a flat-npz checkpoint at an explicit path — lets
+    ``--ckpt candidate.npz`` evaluate a training candidate for ANY learned
+    method without touching the packaged weights under models/weights/."""
+    from ..models.common import load_flat_npz
 
-    data = np.load(path)
-    tree = unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
-    return {"params": tree}
+    return load_flat_npz(path)
+
+
+def _learned_spec(name: str):
+    """(make_model, load_packaged, estimate, torch_converter, extra_kwargs_fn)
+    for each learned method — one table instead of five copy-pasted
+    branches."""
+    if name in ("raft", "raft_large"):
+        from ..models import RAFT, RAFTSmall
+        from ..models.convert import convert_raft_small
+        from ..models.raft import (
+            estimate,
+            load_raft_small_synth,
+            load_raft_synth,
+        )
+
+        def kw(quick):
+            return {"iters": 4 if quick else 12}
+
+        if name == "raft":
+            return RAFTSmall, load_raft_small_synth, estimate, convert_raft_small, kw
+        return RAFT, load_raft_synth, estimate, None, kw
+    no_kw = lambda quick: {}  # noqa: E731
+    if name == "neuflow":
+        from ..models import NeuFlowLite
+        from ..models.neuflow import estimate, load_neuflow_lite_synth
+
+        return NeuFlowLite, load_neuflow_lite_synth, estimate, None, no_kw
+    if name == "pwcnet":
+        from ..models import PWCNet
+        from ..models.convert import convert_pwcnet
+        from ..models.pwcnet import estimate, load_pwcnet_synth
+
+        return PWCNet, load_pwcnet_synth, estimate, convert_pwcnet, no_kw
+    if name == "liteflownet3":
+        from ..models import LiteFlowNet3
+        from ..models.convert import convert_liteflownet3
+        from ..models.liteflownet3 import estimate, load_liteflownet3_synth
+
+        return LiteFlowNet3, load_liteflownet3_synth, estimate, convert_liteflownet3, no_kw
+    if name == "liteflownet":
+        from ..models import LiteFlowNet
+        from ..models.convert import convert_liteflownet
+        from ..models.liteflownet import estimate, load_liteflownet_synth
+
+        return LiteFlowNet, load_liteflownet_synth, estimate, convert_liteflownet, no_kw
+    return None
 
 
 def _make_method(name: str, ckpt: str | None, quick: bool):
@@ -50,143 +92,62 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
 
         run.flow_fn = flow_fn
         return run
-    if name in ("raft", "raft_large", "pwcnet", "neuflow",
-                "liteflownet", "liteflownet3"):
+    spec = _learned_spec(name)
+    if spec is not None:
         import jax
 
-        if name in ("raft", "raft_large"):
-            from ..models import RAFT, RAFTSmall
-            from ..models.raft import (
-                estimate,
-                load_raft_small_synth,
-                load_raft_synth,
-            )
+        make_model, load_packaged, est, torch_conv, kw_fn = spec
+        est_kw = kw_fn(quick)
+        loaded = load_packaged()
+        model = loaded[0] if loaded else make_model()
+        # converted reference checkpoints are BGR-trained (the models'
+        # documented input convention; the reference node converts
+        # rgb8 -> BGR before the net, opticalflow_node.py:44-46) while the
+        # eval datasets provide RGB — flip for torch ckpts only; flat-npz
+        # candidates and the packaged synth weights were trained on this
+        # pipeline's own channel order
+        to_bgr = bool(ckpt) and not ckpt.endswith(".npz")
 
-            loaded = (load_raft_synth() if name == "raft_large"
-                      else load_raft_small_synth())
-            model = loaded[0] if loaded else (
-                RAFT() if name == "raft_large" else RAFTSmall())
+        def get_params(img1, img2):
+            if npz is not None:
+                return npz
+            if ckpt:
+                if torch_conv is None:
+                    raise SystemExit(
+                        f"--ckpt {ckpt}: method {name} accepts only flat-npz "
+                        "checkpoints (no torch-checkpoint converter exists "
+                        "for it)")
+                import torch
 
-            def run(img1, img2):
-                if not hasattr(run, "params"):
-                    run.params = npz if npz is not None else (
-                        loaded[1] if loaded else model.init(
-                            jax.random.PRNGKey(0),
-                            img1[:64, :64], img2[:64, :64], 2))
-                return np.asarray(estimate(model, run.params, img1, img2,
-                                           iters=4 if quick else 12))
+                sd = torch.load(ckpt, map_location="cpu")
+                if isinstance(sd, dict) and "model" in sd:
+                    sd = sd["model"]
+                return torch_conv({k: v.numpy() for k, v in sd.items()})
+            if loaded:
+                return loaded[1]
+            init_args = (img1[:64, :64], img2[:64, :64])
+            if name in ("raft", "raft_large"):
+                init_args += (2,)
+            return model.init(jax.random.PRNGKey(0), *init_args)
 
-            run.flow_fn = lambda i1, i2: estimate(
-                model, run.params, i1, i2, iters=4 if quick else 12)
-            return run
-        if name == "neuflow":
-            from ..models import NeuFlowLite
-            from ..models.neuflow import estimate as nf_estimate
-            from ..models.neuflow import load_neuflow_lite_synth
+        def flow_fn_p(params, i1, i2):
+            if to_bgr:
+                i1, i2 = i1[..., ::-1], i2[..., ::-1]
+            return est(model, params, i1, i2, **est_kw)
 
-            loaded = load_neuflow_lite_synth()
-            model = loaded[0] if loaded else NeuFlowLite()
+        def run(img1, img2):
+            if not hasattr(run, "params"):
+                run.params = get_params(img1, img2)
+            return np.asarray(flow_fn_p(run.params,
+                                        img1.astype(np.float32),
+                                        img2.astype(np.float32)))
 
-            def run(img1, img2):
-                if not hasattr(run, "params"):
-                    run.params = npz if npz is not None else (
-                        loaded[1] if loaded else model.init(
-                            jax.random.PRNGKey(0),
-                            img1[:64, :64], img2[:64, :64]))
-                return np.asarray(nf_estimate(model, run.params, img1, img2))
-
-            run.flow_fn = lambda i1, i2: nf_estimate(
-                model, run.params, i1, i2)
-            return run
-        if name == "pwcnet":
-            from ..models import PWCNet
-            from ..models.pwcnet import estimate as pwc_estimate
-            from ..models.pwcnet import load_pwcnet_synth
-            from ..models.convert import convert_pwcnet
-
-            loaded = load_pwcnet_synth()
-            model = loaded[0] if loaded else PWCNet()
-
-            def run(img1, img2):
-                if not hasattr(run, "params"):
-                    if npz is not None:
-                        run.params = npz
-                    elif ckpt:
-                        import torch
-
-                        sd = torch.load(ckpt, map_location="cpu")
-                        run.params = convert_pwcnet(
-                            {k: v.numpy() for k, v in sd.items()}
-                        )
-                    elif loaded:
-                        run.params = loaded[1]
-                    else:
-                        run.params = model.init(jax.random.PRNGKey(0), img1, img2)
-                return np.asarray(pwc_estimate(model, run.params, img1, img2))
-
-            run.flow_fn = lambda i1, i2: pwc_estimate(
-                model, run.params, i1, i2)
-            return run
-        if name == "liteflownet3":
-            from ..models import LiteFlowNet3
-            from ..models.convert import convert_liteflownet3
-            from ..models.liteflownet3 import estimate as lfn3_estimate
-            from ..models.liteflownet3 import load_liteflownet3_synth
-
-            loaded = load_liteflownet3_synth()
-            model = loaded[0] if loaded else LiteFlowNet3()
-
-            def run(img1, img2):
-                if not hasattr(run, "params"):
-                    if npz is not None:
-                        run.params = npz
-                    elif ckpt:
-                        import torch
-
-                        sd = torch.load(ckpt, map_location="cpu")
-                        run.params = convert_liteflownet3(
-                            {k: v.numpy() for k, v in sd.items()}
-                        )
-                    elif loaded:
-                        run.params = loaded[1]
-                    else:
-                        run.params = model.init(
-                            jax.random.PRNGKey(0), img1, img2)
-                return np.asarray(lfn3_estimate(model, run.params, img1, img2))
-
-            run.flow_fn = lambda i1, i2: lfn3_estimate(
-                model, run.params, i1, i2)
-            return run
-        if name == "liteflownet":
-            from ..models import LiteFlowNet
-            from ..models.convert import convert_liteflownet
-            from ..models.liteflownet import estimate as lfn_estimate
-            from ..models.liteflownet import load_liteflownet_synth
-
-            loaded = load_liteflownet_synth()
-            model = loaded[0] if loaded else LiteFlowNet()
-
-            def run(img1, img2):
-                if not hasattr(run, "params"):
-                    if npz is not None:
-                        run.params = npz
-                    elif ckpt:
-                        import torch
-
-                        sd = torch.load(ckpt, map_location="cpu")
-                        run.params = convert_liteflownet(
-                            {k: v.numpy() for k, v in sd.items()}
-                        )
-                    elif loaded:
-                        run.params = loaded[1]
-                    else:
-                        run.params = model.init(
-                            jax.random.PRNGKey(0), img1, img2)
-                return np.asarray(lfn_estimate(model, run.params, img1, img2))
-
-            run.flow_fn = lambda i1, i2: lfn_estimate(
-                model, run.params, i1, i2)
-            return run
+        # flow_fn_p takes params as an ARGUMENT so device timing can jit it
+        # without baking the weight tree into the HLO as literals (CLAUDE.md:
+        # trace-time operator literals blew the axon remote-compile limit)
+        run.flow_fn_p = flow_fn_p
+        run.flow_fn = lambda i1, i2: flow_fn_p(run.params, i1, i2)
+        return run
     raise SystemExit(f"unknown method {name}")
 
 
@@ -260,43 +221,58 @@ def main(argv=None):
             s["fl_all"] = outlier_rate(flow, gt, valid)
             all_stats.append(s)
 
-        agg = {k: float(np.mean([s[k] for s in all_stats])) for k in all_stats[0]}
+        # nanmean: a frame with an empty valid mask yields NaN stats and must
+        # not poison the aggregate
+        agg = {k: float(np.nanmean([s[k] for s in all_stats]))
+               for k in all_stats[0]}
         agg.update(method=method, dataset=src, n=len(pairs),
                    sec_per_pair=t_total / len(pairs))
-        if args.time_device and hasattr(run, "flow_fn"):
+        if args.time_device:
             agg["device_ms_per_frame"] = round(
-                _device_ms_per_frame(run.flow_fn, pairs[0][0], pairs[0][1],
+                _device_ms_per_frame(run, pairs[0][0], pairs[0][1],
                                      reps=4 if args.quick else 24), 3)
         print(json.dumps(agg))
     return 0
 
 
-def _device_ms_per_frame(flow_fn, img1, img2, reps: int = 24) -> float:
+def _device_ms_per_frame(run, img1, img2, reps: int = 24) -> float:
     """Pure device time of one flow call at the eval operating point: an
     in-jit ``lax.scan`` chain (each rep's input depends on the previous
     rep's output scalar, so XLA cannot hoist the body) with ONE host sync —
-    the honest-timing recipe for the axon tunnel (CLAUDE.md)."""
+    the honest-timing recipe for the axon tunnel (CLAUDE.md).
+
+    Learned methods are timed through ``run.flow_fn_p(params, i1, i2)`` with
+    the weight tree passed as jit ARGUMENTS — a closure over host-numpy
+    params would bake every weight into the HLO as literals and blow the
+    axon remote-compile upload (the round-2 session-5 failure mode)."""
     import time
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     i1 = jnp.asarray(img1, jnp.float32)
     i2 = jnp.asarray(img2, jnp.float32)
+    flow_fn_p = getattr(run, "flow_fn_p", None)
+    if flow_fn_p is not None:
+        params = jax.device_put(run.params)
+    else:
+        params = None
 
-    def chain(a, b):
+        def flow_fn_p(p, a, b):
+            return run.flow_fn(a, b)
+
+    def chain(p, a, b):
         def body(c, _):
-            f = flow_fn(a + 0.0 * c, b)
+            f = flow_fn_p(p, a + 0.0 * c, b)
             return jnp.sum(f).astype(jnp.float32), None
 
         s, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
         return s
 
     fn = jax.jit(chain)
-    float(fn(i1, i2))  # compile
+    float(fn(params, i1, i2))  # compile
     best = min(
-        (lambda t0: (float(fn(i1, i2)), time.perf_counter() - t0)[1])(
+        (lambda t0: (float(fn(params, i1, i2)), time.perf_counter() - t0)[1])(
             time.perf_counter())
         for _ in range(3)
     )

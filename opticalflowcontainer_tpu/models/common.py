@@ -132,3 +132,15 @@ def cast_params(params, dtype):
     import jax.numpy as jnp
 
     return jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+
+
+def load_flat_npz(path: str) -> dict:
+    """Flax params from a flat-npz checkpoint ('a/b/c' keys, the
+    tools/train_flow.py save format) — the single shared loader behind the
+    packaged-weight helpers and eval's --ckpt candidate path."""
+    import numpy as np
+    from flax.traverse_util import unflatten_dict
+
+    data = np.load(path)
+    tree = unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
+    return {"params": tree}

@@ -180,10 +180,12 @@ def _set(tree: dict, path: tuple[str, ...], kernel, bias=None):
 
 
 def _rename(sd: Mapping) -> dict:
-    return {
-        (k.replace("module", "net", 1) if k.startswith("module") else k): v
-        for k, v in sd.items()
-    }
+    # global replace on EVERY occurrence, matching the reference loaders
+    # exactly (pwc_net/pwc_net.py:219, pwc_sub_node.py:94): real sniklaus
+    # checkpoints nest module-prefixed names (moduleExtractor.moduleOne.0),
+    # so a first-occurrence-only replace would miss the inner ones and the
+    # table lookup (netExtractor.netOne.0) would KeyError
+    return {k.replace("module", "net"): v for k, v in sd.items()}
 
 
 def apply_table(sd: Mapping, table: list[Entry]) -> dict:

@@ -11,6 +11,8 @@ Output: level-2 (half-res) flow x20.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -182,11 +184,8 @@ def load_liteflownet_synth():
     return _load_weights_npz("liteflownet_synth.npz", LiteFlowNet())
 
 
-def estimate(model: "LiteFlowNet", params, img1: jax.Array, img2: jax.Array) -> jax.Array:
-    """The reference node's pre/post contract (reference
-    opticalflow_node.py:71-95 / lfn3_sub_node.py:181-199): resize the inputs
-    to multiples of 32, run the net, bilinear-resize the flow to the input
-    size and rescale u, v by the width/height ratios."""
+@functools.partial(jax.jit, static_argnums=(0,))
+def _estimate(model, params, img1, img2):
     H, W = img1.shape[0], img1.shape[1]
     Hp, Wp = _pad_to(H, 32), _pad_to(W, 32)
     i1 = resize_bilinear(img1, (Hp, Wp), channel_last=True)
@@ -194,3 +193,12 @@ def estimate(model: "LiteFlowNet", params, img1: jax.Array, img2: jax.Array) -> 
     flow = model.apply(params, i1, i2)
     flow = resize_bilinear(flow, (H, W), channel_last=True)
     return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)
+
+
+def estimate(model: "LiteFlowNet", params, img1: jax.Array, img2: jax.Array) -> jax.Array:
+    """The reference node's pre/post contract (reference
+    opticalflow_node.py:71-95 / lfn3_sub_node.py:181-199): resize the inputs
+    to multiples of 32, run the net, bilinear-resize the flow to the input
+    size and rescale u, v by the width/height ratios.  One jitted program,
+    params as jit arguments (not HLO literals)."""
+    return _estimate(model, params, img1, img2)

@@ -16,6 +16,8 @@ Differences vs LiteFlowNet v1 that define LFN3 (SURVEY.md §2.2):
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -189,10 +191,8 @@ def load_liteflownet3_synth():
     return _load_weights_npz("liteflownet3_synth.npz", LiteFlowNet3())
 
 
-def estimate(model: "LiteFlowNet3", params, img1: jax.Array, img2: jax.Array) -> jax.Array:
-    """Reference lfn3 node contract (reference lfn3_sub_node.py:181-199):
-    resize inputs to multiples of 32, forward, resize the quarter-res flow to
-    the input size, rescale u and v."""
+@functools.partial(jax.jit, static_argnums=(0,))
+def _estimate(model, params, img1, img2):
     H, W = img1.shape[0], img1.shape[1]
     Hp, Wp = _pad_to(H, 32), _pad_to(W, 32)
     i1 = resize_bilinear(img1, (Hp, Wp), channel_last=True)
@@ -200,3 +200,11 @@ def estimate(model: "LiteFlowNet3", params, img1: jax.Array, img2: jax.Array) ->
     flow = model.apply(params, i1, i2)
     flow = resize_bilinear(flow, (H, W), channel_last=True)
     return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)
+
+
+def estimate(model: "LiteFlowNet3", params, img1: jax.Array, img2: jax.Array) -> jax.Array:
+    """Reference lfn3 node contract (reference lfn3_sub_node.py:181-199):
+    resize inputs to multiples of 32, forward, resize the quarter-res flow to
+    the input size, rescale u and v.  One jitted program, params as jit
+    arguments (not HLO literals)."""
+    return _estimate(model, params, img1, img2)

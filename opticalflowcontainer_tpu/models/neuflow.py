@@ -19,6 +19,8 @@ static-shape program per resolution and reuses buffers.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -127,9 +129,8 @@ class NeuFlowLite(nn.Module):
         return out
 
 
-def estimate(model, params, img1: jax.Array, img2: jax.Array):
-    """Resize-to-multiple-of-16 / forward / resize-back / rescale contract
-    (the canonical pre/post sequence, reference lfn3_sub_node.py:181-199)."""
+@functools.partial(jax.jit, static_argnums=(0,))
+def _estimate(model, params, img1, img2):
     H, W = img1.shape[0], img1.shape[1]
     Hp = ((H + 15) // 16) * 16
     Wp = ((W + 15) // 16) * 16
@@ -140,20 +141,18 @@ def estimate(model, params, img1: jax.Array, img2: jax.Array):
     return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)
 
 
+def estimate(model, params, img1: jax.Array, img2: jax.Array):
+    """Resize-to-multiple-of-16 / forward / resize-back / rescale contract
+    (the canonical pre/post sequence, reference lfn3_sub_node.py:181-199),
+    jitted as one program with params as jit arguments (not HLO literals)."""
+    return _estimate(model, params, img1, img2)
+
+
 def load_neuflow_lite_synth():
     """Load the packaged NeuFlowLite checkpoint (trained on synthetic affine
     flows on TPU — the weight-loading story for the NeuFlow capability; the
     reference loads HF safetensors, neuflow_node.py:38, which this sandbox
     cannot download).  Returns (model, params) or None when absent."""
-    import os
+    from .raft import _load_weights_npz
 
-    import numpy as np
-    from flax.traverse_util import unflatten_dict
-
-    path = os.path.join(os.path.dirname(__file__), "weights",
-                        "neuflow_lite_synth.npz")
-    if not os.path.exists(path):
-        return None
-    data = np.load(path)
-    tree = unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
-    return NeuFlowLite(), {"params": tree}
+    return _load_weights_npz("neuflow_lite_synth.npz", NeuFlowLite())

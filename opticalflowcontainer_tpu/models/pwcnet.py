@@ -25,8 +25,6 @@ from ..ops import local_correlation
 
 _EXTRACTOR_CH = (16, 32, 64, 96, 128, 196)
 _DENSE_CH = (128, 128, 96, 64, 32)
-# decoder input channels per level: corr(81) + feat + flow(2) + upfeat(2)
-_CURRENT = {6: 81, 5: 81 + 128 + 4, 4: 81 + 96 + 4, 3: 81 + 64 + 4, 2: 81 + 32 + 4}
 _FLOW_SCALE = {5: 0.625, 4: 1.25, 3: 2.5, 2: 5.0}
 
 

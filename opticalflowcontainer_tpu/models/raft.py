@@ -218,7 +218,8 @@ class _RAFTBase(nn.Module):
     def __call__(self, img1, img2, iters: int | None = None):
         """img1/img2 [H, W, 3] in [0,1], H and W multiples of 8.  Returns the
         stack of per-iteration upsampled flows [iters, H, W, 2]."""
-        iters = iters or self.iters
+        # `or` would silently turn an explicit iters=0 into the default
+        iters = self.iters if iters is None else iters
         img1 = img1 * 2.0 - 1.0
         img2 = img2 * 2.0 - 1.0
         f1 = self.fnet(img1)
@@ -262,8 +263,8 @@ def _pad_to(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
-def estimate(model, params, img1: jax.Array, img2: jax.Array, iters: int = 12):
-    """Resize-to-multiple-of-8 / forward / resize-back / rescale contract."""
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def _estimate(model, params, img1, img2, iters):
     H, W = img1.shape[0], img1.shape[1]
     Hp, Wp = _pad_to(H, 8), _pad_to(W, 8)
     i1 = resize_bilinear(img1, (Hp, Wp), channel_last=True)
@@ -273,20 +274,27 @@ def estimate(model, params, img1: jax.Array, img2: jax.Array, iters: int = 12):
     return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)
 
 
+def estimate(model, params, img1: jax.Array, img2: jax.Array, iters: int = 12):
+    """Resize-to-multiple-of-8 / forward / resize-back / rescale contract.
+
+    The whole contract runs as ONE jitted program (params as jit arguments,
+    never baked as HLO literals — CLAUDE.md: out-of-jit dispatches through
+    axon cost seconds, and trace-time weight literals blow the remote-compile
+    upload limit)."""
+    return _estimate(model, params, img1, img2, int(iters))
+
+
 def _load_weights_npz(fname: str, model):
     """Load a packaged flat-npz checkpoint (written by tools/train_flow.py).
     Returns (model, params) or None when the artifact is absent."""
     import os
 
-    import numpy as np
-    from flax.traverse_util import unflatten_dict
+    from .common import load_flat_npz
 
     path = os.path.join(os.path.dirname(__file__), "weights", fname)
     if not os.path.exists(path):
         return None
-    data = np.load(path)
-    tree = unflatten_dict({tuple(k.split("/")): data[k] for k in data.files})
-    return model, {"params": tree}
+    return model, load_flat_npz(path)
 
 
 def load_raft_small_synth():

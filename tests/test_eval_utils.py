@@ -15,6 +15,19 @@ def test_epe_metrics():
     assert outlier_rate(flow, gt) == 0.0  # epe==3 not > 3
 
 
+def test_epe_empty_valid_mask_is_nan_not_crash():
+    """A frame whose valid mask selects zero pixels (all-zero KITTI flow_occ
+    channel) must yield NaN stats, not an np.percentile IndexError; the
+    run_eval aggregation uses nanmean so such frames drop out."""
+    gt = np.zeros((4, 4, 2), np.float32)
+    flow = np.ones_like(gt)
+    valid = np.zeros((4, 4), bool)
+    assert np.isnan(epe(flow, gt, valid))
+    stats = epe_stats(flow, gt, valid)
+    assert all(np.isnan(v) for v in stats.values())
+    assert np.isnan(outlier_rate(flow, gt, valid))
+
+
 def test_flo_roundtrip(tmp_path, rng):
     flow = rng.standard_normal((7, 9, 2)).astype(np.float32)
     p = str(tmp_path / "x.flo")

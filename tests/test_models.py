@@ -165,6 +165,19 @@ def test_converter_roundtrip(rng, model_fn, table_fn, size):
             np.asarray(rflat[k]), np.asarray(flat[k]), atol=1e-6, err_msg=str(k)
         )
 
+    # real sniklaus checkpoints use NESTED module* names
+    # (moduleExtractor.moduleOne.0.weight): the rename must replace every
+    # occurrence, not just the first (reference pwc_net.py:219 is a global
+    # str.replace) — regression for the first-occurrence-only bug
+    sd_module = {k.replace("net", "module"): v for k, v in sd.items()}
+    rflat2 = flatten_dict(C.apply_table(sd_module, table)["params"])
+    assert set(rflat2) == set(flat)
+    for k in flat:
+        np.testing.assert_allclose(
+            np.asarray(rflat2[k]), np.asarray(flat[k]), atol=1e-6,
+            err_msg=str(k)
+        )
+
 
 def test_conv_bn_fusion(rng):
     import torch
