@@ -47,8 +47,12 @@ def flow_to_hsv_rgb(flow: jax.Array, max_mag: float | None = None) -> jax.Array:
     reference publishes (reference lfn3_sub_node.py:246-260)."""
     u, v = flow[..., 0], flow[..., 1]
     mag = jnp.sqrt(u * u + v * v)
+    # cv2.cartToPolar convention: angle in [0, 2pi) from +x, so rightward
+    # flow (u>0, v=0) maps to hue 0 = red — shifting by +pi instead would
+    # rotate every published color wheel a half turn vs the reference images
     ang = jnp.arctan2(v, u)  # [-pi, pi]
-    hue = (ang + jnp.pi) / (2.0 * jnp.pi)  # [0, 1]
+    ang = jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)
+    hue = ang / (2.0 * jnp.pi)  # [0, 1]
     if max_mag is None:
         denom = jnp.maximum(jnp.max(mag, axis=(-2, -1), keepdims=True), 1e-6)
     else:

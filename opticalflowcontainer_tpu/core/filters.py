@@ -60,11 +60,7 @@ def gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float64)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+from .backend import on_tpu as _on_tpu
 
 
 def _corr1d(x: jax.Array, k, axis: int) -> jax.Array:
@@ -208,7 +204,7 @@ def bilateral_filter(
     return num / den
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(2,))
 def clahe(img: jax.Array, clip_limit: float = 2.0, grid: int = 8) -> jax.Array:
     """Contrast-limited adaptive histogram equalization over [H, W] uint8-range
     float input (values 0..255), ``cv2.createCLAHE(clip, (grid, grid))`` analogue.
@@ -225,7 +221,24 @@ def clahe(img: jax.Array, clip_limit: float = 2.0, grid: int = 8) -> jax.Array:
     tiles = jnp.moveaxis(tiles, -2, -3)  # [..., grid, grid, th, tw]
     flat = tiles.reshape(img.shape[:-2] + (grid, grid, th * tw))
     idx = jnp.clip(flat, 0, 255).astype(jnp.int32)
-    hist = jax.nn.one_hot(idx, n_bins, dtype=jnp.float32).sum(axis=-2)
+    # chunked one-hot accumulation: a single materialized one-hot would be a
+    # [tiles, th*tw, 256] f32 transient (~314 MB at 640x480/grid=8, per
+    # frame); scanning 256-pixel chunks bounds it to ~16 MB with identical
+    # numerics (one_hot(-1) rows from the tail padding are all-zero)
+    chunk = 256
+    npix = th * tw
+    nch = -(-npix // chunk)
+    pad = nch * chunk - npix
+    idx_p = jnp.pad(idx, [(0, 0)] * (idx.ndim - 1) + [(0, pad)],
+                    constant_values=-1)
+    chunks = jnp.moveaxis(
+        idx_p.reshape(idx.shape[:-1] + (nch, chunk)), -2, 0)
+
+    def _acc(h, ch):
+        return h + jax.nn.one_hot(ch, n_bins, dtype=jnp.float32).sum(axis=-2), None
+
+    hist, _ = jax.lax.scan(
+        _acc, jnp.zeros(idx.shape[:-1] + (n_bins,), jnp.float32), chunks)
     # clip histogram and redistribute the excess uniformly (standard CLAHE)
     limit = jnp.maximum(clip_limit * (th * tw) / n_bins, 1.0)
     excess = jnp.sum(jnp.maximum(hist - limit, 0.0), axis=-1, keepdims=True)

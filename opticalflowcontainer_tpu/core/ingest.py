@@ -36,7 +36,16 @@ def preprocess_frames(
     - ``to_rgb``: channel flip (models trained on RGB)
     - ``out_hw``: bilinear resize (half-pixel, cv2 parity)
     - ``normalize``: /255; ``mean``: per-channel subtraction after that
+      (mean values are on the normalized 0-1 scale, so it requires
+      ``normalize=True``, and it is per-channel, so incompatible with
+      ``to_gray``)
     """
+    if mean is not None and to_gray:
+        raise ValueError("mean is per-channel; incompatible with to_gray")
+    if mean is not None and not normalize:
+        raise ValueError(
+            "mean values are on the normalized 0-1 scale; subtracting them "
+            "from 0-255 pixels would be silently wrong — set normalize=True")
     x = frames.astype(jnp.float32)
     if to_gray:
         x = bgr_to_gray(x)

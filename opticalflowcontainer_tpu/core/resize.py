@@ -22,11 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+from .backend import on_tpu as _on_tpu
 
 
 def _axis_coords_np(dst: int, src: int, align_corners: bool) -> np.ndarray:
@@ -88,10 +84,19 @@ def resize_bilinear(
     ``channel_last=True`` treats the input as ``[..., H, W, C]``.
     """
     H, W = size
+    orig_dtype = img.dtype
+    if not jnp.issubdtype(orig_dtype, jnp.floating):
+        # integer inputs: blend weights cast to the input dtype would
+        # truncate to 0 (silent nearest-floor sampling) — interpolate in
+        # f32 and round back (convex combination, so no clipping needed)
+        img = img.astype(jnp.float32)
     h_ax = img.ndim - (3 if channel_last else 2)
     w_ax = h_ax + 1
     out = _resize_axis(img, h_ax, H, align_corners)
-    return _resize_axis(out, w_ax, W, align_corners)
+    out = _resize_axis(out, w_ax, W, align_corners)
+    if out.dtype != orig_dtype:
+        out = jnp.round(out).astype(orig_dtype)
+    return out
 
 
 def resize_area(img: jax.Array, size: tuple[int, int], channel_last: bool = False) -> jax.Array:

@@ -37,11 +37,7 @@ def _gather_hw(img: jax.Array, iy: jax.Array, ix: jax.Array) -> jax.Array:
     return out.reshape(batch + (h, w, C))
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+from .backend import on_tpu as _on_tpu
 
 
 def sample_bilinear_zeros(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:

@@ -45,11 +45,7 @@ def corr_pyramid(vol: jax.Array, levels: int = 4) -> list[jax.Array]:
     return pyr
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
+from ..core.backend import on_tpu as _on_tpu
 
 
 def _bilinear_volume_sample(vol: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:

@@ -13,9 +13,11 @@ semantics), rounds channels up to the 128-lane boundary and the padded width
 to the sublane boundary.
 
 Supported: out_stride == 1 (covers PWC-Net 81-ch, LiteFlowNet fine-level
-49-ch, LFN3 cross- and dilated self-correlation).  The strided-output
-LiteFlowNet coarse config falls back to the lax path (dispatcher in
-``correlation.local_correlation``).
+49-ch, LFN3 cross- and dilated self-correlation).  NOT dispatched in
+production: ``local_correlation`` ships the lax form unconditionally
+(this kernel measured ~11% slower at the model shapes — both forms are
+VPU/bandwidth-bound; see ops/__init__ and the README demotion note);
+``correlation_pallas_call`` stays importable for direct use and tests.
 
 Gradients: ``jax.custom_vjp`` whose backward is the autodiff adjoint of the
 lax reference implementation — the exact math of the reference's hand-written
@@ -35,19 +37,7 @@ from .correlation import correlation_lax
 _TH = 8  # rows per program
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:  # pragma: no cover
-        return False
-
-
-def pallas_supported(f1: jax.Array, max_disp: int, disp_stride: int, out_stride: int) -> bool:
-    return (
-        out_stride == 1
-        and f1.ndim == 3
-        and max_disp % max(disp_stride, 1) == 0
-    )
+from ..core.backend import on_tpu as _on_tpu
 
 
 def _corr_kernel(

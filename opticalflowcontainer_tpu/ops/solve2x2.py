@@ -136,8 +136,13 @@ def blur_solve_2x2(
     ph, pw = bh + 2 * _PAD_Y, bw + 2 * _PAD_X
     # out lane j sums patch lanes j + _PAD_X - r + t; out row o sums patch
     # rows o + _PAD_Y - r + t
-    Bx = jnp.asarray(_band(k, pw, bw, _PAD_X - r), jnp.bfloat16)
-    By = jnp.asarray(_band(k, ph, bh, _PAD_Y - r).T, jnp.bfloat16)
+    # banded operators go through as_operator, never jnp.asarray: above its
+    # size threshold the literal would serialize into every compile upload
+    # (the 1080p HTTP-413 failure mode, core/banded.py)
+    from ..core.banded import as_operator
+
+    Bx = as_operator(_band(k, pw, bw, _PAD_X - r)).astype(jnp.bfloat16)
+    By = as_operator(_band(k, ph, bh, _PAD_Y - r).T).astype(jnp.bfloat16)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(B, nby, nbx),

@@ -71,3 +71,34 @@ def test_resize_batched(rng):
     assert out.shape == (2, 3, 24, 32)
     single = np.asarray(resize_bilinear(img[1, 2], (24, 32)))
     np.testing.assert_allclose(out[1, 2], single, atol=1e-6)
+
+
+def test_flow_to_hsv_matches_cv2_color_wheel():
+    """Hue convention must match the reference's cv2.cartToPolar debug images
+    (reference calcFishSpeed.py:355-356): angle in [0, 2pi) from +x, so
+    rightward flow is RED — the arctan2+pi form had the wheel rotated 180deg."""
+    import cv2
+
+    from opticalflowcontainer_tpu.core.color import flow_to_hsv_rgb
+
+    rng = np.random.default_rng(5)
+    flow = rng.uniform(-4, 4, (32, 48, 2)).astype(np.float32)
+    ours = np.asarray(flow_to_hsv_rgb(flow))  # RGB float [0,1]
+
+    mag, ang = cv2.cartToPolar(flow[..., 0], flow[..., 1])
+    hsv = np.zeros((32, 48, 3), np.uint8)
+    hsv[..., 0] = (ang * 180 / np.pi / 2).astype(np.uint8)  # cv2 H in [0,180)
+    hsv[..., 1] = 255
+    hsv[..., 2] = np.clip(mag / max(mag.max(), 1e-6) * 255, 0, 255).astype(np.uint8)
+    ref = cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)[..., ::-1].astype(np.float32) / 255.0
+
+    # uint8 quantization of H/V costs a few percent; a 180deg hue rotation
+    # would push the mean error to ~0.3+
+    err = np.abs(ours - ref).mean()
+    assert err < 0.05, err
+
+    # directional spot-check: rightward flow renders red
+    right = np.zeros((4, 4, 2), np.float32)
+    right[..., 0] = 3.0
+    rgb = np.asarray(flow_to_hsv_rgb(right, max_mag=3.0))
+    assert rgb[0, 0, 0] > 0.9 and rgb[0, 0, 1] < 0.1 and rgb[0, 0, 2] < 0.1
