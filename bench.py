@@ -58,6 +58,10 @@ def main(argv=None):
                     action="store_false")
     ap.add_argument("--no-lfn3-stream", action="store_true",
                     help="skip the learned-model (LFN3) streaming leg")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (harness smoke-testing; the "
+                         "sandbox sitecustomize forces the axon platform, so "
+                         "JAX_PLATFORMS=cpu alone does NOT work)")
     args = ap.parse_args(argv)
     if args.multistream is None:
         args.multistream = not args.quick
@@ -65,6 +69,8 @@ def main(argv=None):
     import numpy as np
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -146,6 +152,18 @@ def main(argv=None):
                  poly_n=5, poly_sigma=1.2)
     rng = np.random.default_rng(0)
 
+    def make_chain(step_fn, n_reps):
+        """Jitted scan chain of ``n_reps`` dependent calls (the ``+ 0*carry``
+        data dependency stops XLA hoisting) — one factory for every chain in
+        this file so the recipe can never diverge between copies."""
+        def chain(*targs):
+            def body(carry, _):
+                out = step_fn(targs[0] + 0.0 * carry, *targs[1:])
+                return out.sum(), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=n_reps)
+            return s
+        return jax.jit(chain)
+
     if args.clip:
         # Video-stream operating point: T frames -> T-1 fields per call with
         # shared per-frame polynomial expansions (pairwise calls expand every
@@ -155,30 +173,14 @@ def main(argv=None):
         base = rng.uniform(0, 255, (H + 8, W + 2 * T)).astype(np.float32)
         frames = jnp.asarray(np.stack(
             [base[4 : 4 + H, 2 * t : 2 * t + W] for t in range(T)]))
-
-        def bench_fn(fr):
-            def body(carry, _):
-                flow = farneback_clip(fr + 0.0 * carry, **fb_kw)
-                return flow.sum(), None
-            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
-            return s
-
-        fn = jax.jit(bench_fn)
+        step_fn = lambda fr: farneback_clip(fr, **fb_kw)  # noqa: E731
         fn_args = (frames,)
     else:
         fields_per_call = B
         base = rng.uniform(0, 255, (B, H + 8, W + 8)).astype(np.float32)
         a = jnp.asarray(base[:, 4 : 4 + H, 4 : 4 + W])
         b = jnp.asarray(base[:, 4 : 4 + H, 2 : 2 + W])  # 2 px shift
-
-        def bench_fn(a, b):
-            def body(carry, _):
-                flow = farneback_batched(a + 0.0 * carry, b, **fb_kw)
-                return flow.sum(), None
-            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
-            return s
-
-        fn = jax.jit(bench_fn)
+        step_fn = lambda x, y: farneback_batched(x, y, **fb_kw)  # noqa: E731
         fn_args = (a, b)
 
     # two chain lengths: the full chain carries the headline wall number;
@@ -186,23 +188,8 @@ def main(argv=None):
     # constant per-call overhead), giving the pure device per-field time —
     # tunnel-proof even in a degraded RTT window (VERDICT r2 item 1a).
     reps_half = max(reps // 2, 1)
-
-    if args.clip:
-        def bench_fn_half(fr):
-            def body(carry, _):
-                flow = farneback_clip(fr + 0.0 * carry, **fb_kw)
-                return flow.sum(), None
-            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps_half)
-            return s
-        fn_half = jax.jit(bench_fn_half)
-    else:
-        def bench_fn_half(a, b):
-            def body(carry, _):
-                flow = farneback_batched(a + 0.0 * carry, b, **fb_kw)
-                return flow.sum(), None
-            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps_half)
-            return s
-        fn_half = jax.jit(bench_fn_half)
+    fn = make_chain(step_fn, reps)
+    fn_half = make_chain(step_fn, reps_half)
 
     t0 = time.time()
     s0 = float(fn(*fn_args))
@@ -318,21 +305,33 @@ def main(argv=None):
         nelem = 32 * 1024 * 1024  # 128 MB f32
         xs = jnp.arange(nelem, dtype=jnp.float32)
         ceil_reps = 8 if args.quick else 24
+        ceil_half = max(ceil_reps // 2, 1)
 
-        def stream_fn(x):
-            def body(c, _):
-                # jnp.maximum, not sum(x + c): XLA constant-folds linear
-                # reductions (sum(x+c) = sum(x) + N*c reads nothing)
-                return jnp.maximum(x, c).sum() * 1e-12, None
-            s, _ = jax.lax.scan(body, jnp.float32(0), None, length=ceil_reps)
-            return s
+        def make_stream(n):
+            def stream_fn(x):
+                def body(c, _):
+                    # jnp.maximum, not sum(x + c): XLA constant-folds linear
+                    # reductions (sum(x+c) = sum(x) + N*c reads nothing)
+                    return jnp.maximum(x, c).sum() * 1e-12, None
+                s, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+                return s
+            return jax.jit(stream_fn)
 
-        sf = jax.jit(stream_fn)
+        sf, sf_half = make_stream(ceil_reps), make_stream(ceil_half)
         float(sf(xs))
+        float(sf_half(xs))
         t_c = timed(sf, xs, n=3)
-        # subtract the per-execution RTT estimated from the main chain
-        rtt = max(elapsed - device_per_field * reps * fields_per_call, 0.0)
-        ceiling_gbps = (nelem * 4 * ceil_reps) / max(t_c - rtt, 1e-9) / 1e9
+        t_ch = timed(sf_half, xs, n=3)
+        # RTT cancels in the SAME-program chain difference (the main chain's
+        # RTT estimate belongs to a different execution window — subtracting
+        # it here once produced absurd ceilings when the windows differed)
+        t_dev = t_c - t_ch
+        ceiling_gbps = (nelem * 4 * (ceil_reps - ceil_half)) / max(t_dev, 1e-9) / 1e9
+        if not (t_dev > 0.0 and ceiling_gbps < 2000.0):  # v5e spec is 820
+            # jitter swamped the difference: fall back to the uncancelled
+            # full-chain time — a LOWER bound on the ceiling — and say so
+            ceiling_gbps = (nelem * 4 * ceil_reps) / t_c / 1e9
+            record["roofline_ceiling_unreliable"] = True
 
         # analytic traffic model of the block-warp pipeline (true patch-DMA
         # sizes; XLA cost_analysis instead charges pallas calls their whole

@@ -1001,6 +1001,10 @@ def farneback_bytes_per_field(H: int, W: int, levels: int = 3,
                                    BLOCK_WARP_PAD, BLOCK_WARP_PHASES)
     n_levels = _num_levels(H, W, levels, pyr_scale)
     T = clip_frames
+    if T is not None and T < 2:
+        # a clip needs at least 2 frames for 1 field; a falsy-zero slipping
+        # through would silently model pair traffic, T=1 would divide by zero
+        raise ValueError(f"clip_frames={T}: need >= 2 frames (T-1 fields)")
     share_all = T is not None and H * W <= CLIP_SHARE_ALL_MAX_PIXELS
     # expansions per field: clip mode expands each of T frames once for T-1
     # fields at shared levels; pair levels/modes expand both frames per field

@@ -286,10 +286,16 @@ def calc_optical_flow_pyr_lk(
     max_level: int = 3,
     criteria: tuple[int, float] = (30, 0.01),
     min_eig_threshold: float = 1e-4,
+    use_initial_flow: bool = False,
 ) -> LKResult:
     """``cv2.calcOpticalFlowPyrLK`` parity (forward tracking).
 
     ``prev_pts``: [N, 2] float (x, y).  Returns tracked points, status, error.
+    ``criteria`` accepts both this API's ``(count, eps)`` and cv2's 3-tuple
+    ``(type, count, eps)``.  ``next_pts`` seeds the search only with
+    ``use_initial_flow=True`` (cv2's OPTFLOW_USE_INITIAL_FLOW: with flags=0
+    cv2 treats nextPts as an output buffer, so honoring it unconditionally
+    would seed the coarsest level with garbage for cv2-style callers).
     """
     prev_img = jnp.asarray(prev_img, jnp.float32)
     next_img = jnp.asarray(next_img, jnp.float32)
@@ -298,10 +304,17 @@ def calc_optical_flow_pyr_lk(
         max_level, int(np.floor(np.log2(max(min(H, W) / 32.0, 1.0))))
     )
     pts = jnp.asarray(prev_pts, jnp.float32).reshape(-1, 2)
-    if next_pts is None:
+    if next_pts is None or not use_initial_flow:
         init = jnp.zeros_like(pts)
     else:
         init = jnp.asarray(next_pts, jnp.float32).reshape(-1, 2) - pts
+    if len(criteria) == 3:  # cv2 (TERM_CRITERIA_* type, count, eps)
+        criteria = criteria[1:]
+    if win_size[0] != win_size[1]:
+        raise NotImplementedError(
+            f"win_size={win_size}: only square LK windows are implemented; "
+            "silently using the width would change the G matrices and "
+            "off-image sampling vs cv2")
     win = int(win_size[0])
     tracked, status, err = _pyr_lk_full(
         prev_img,

@@ -61,17 +61,9 @@ def _kernel(m_ref, bx_ref, by_ref, uv_ref, patch, sem, *, bh, bw, nby, nbx,
             patch.at[sl], sem.at[sl],
         )
 
-    @pl.when(n == 0)
-    def _first():
-        copy_for(b, i, j, slot).start()
+    from .blockwarp import start_prefetch_pipeline
 
-    @pl.when(n + 1 < nb_total)
-    def _next():
-        nn = n + 1
-        jn = jax.lax.rem(nn, nbx)
-        in_ = jax.lax.rem(nn // nbx, nby)
-        bn = nn // (nbx * nby)
-        copy_for(bn, in_, jn, jax.lax.rem(nn, 2)).start()
+    start_prefetch_pipeline(copy_for, n, nbx, nby, nb_total)
 
     copy_for(b, i, j, slot).wait()
     p = patch[slot]  # [5, ph, pw]

@@ -48,11 +48,25 @@ def test_initial_flow_guess(rng):
         f2.astype(np.float32),
         pts,
         next_pts=pts + np.float32([5.5, 0.0]),
+        use_initial_flow=True,
     )
     ours, st = np.asarray(res.pts), np.asarray(res.status)
     ok = st == 1
     gt = pts + np.float32([6.0, 0.0])
     assert np.linalg.norm(ours[ok] - gt[ok], axis=-1).mean() < 0.2
+
+    # cv2 parity: WITHOUT the flag, next_pts is an output buffer and must
+    # not seed the search (cv2 flags=0 semantics) — garbage nextPts must not
+    # change the result; cv2's 3-tuple criteria form must also be accepted
+    res_garbage = calc_optical_flow_pyr_lk(
+        f1.astype(np.float32), f2.astype(np.float32), pts,
+        next_pts=pts + np.float32([500.0, -900.0]),
+        criteria=(3, 30, 0.01),  # (TERM_CRITERIA type, count, eps)
+    )
+    base = calc_optical_flow_pyr_lk(
+        f1.astype(np.float32), f2.astype(np.float32), pts)
+    np.testing.assert_allclose(np.asarray(res_garbage.pts),
+                               np.asarray(base.pts), atol=1e-5)
 
 
 def test_status_kills_offimage_points(rng):
