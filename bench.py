@@ -28,7 +28,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 BASELINE_FIELDS_PER_SEC = 1000.0  # BASELINE.json north star (full v5e)
 
 
-def main(argv=None):
+def _bench_main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json-only", action="store_true")
@@ -598,6 +598,38 @@ def main(argv=None):
             pass
     print(json.dumps(record))
     return 0
+
+
+def main(argv=None):
+    """One JSON line ALWAYS reaches stdout: a tunnel outage can either hang a
+    remote compile (the watchdog thread handles that) or raise UNAVAILABLE
+    after ~9 min — this wrapper turns the raise into an error record carrying
+    the last completed full-run measurement, so an environmental outage at
+    bench time never erases the chip truth from the driver's BENCH_r*.json."""
+    try:
+        return _bench_main(argv)
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — deliberate: record + exit
+        import traceback
+
+        traceback.print_exc()
+        rec = {
+            "metric": "farneback_720p_fields_per_sec",
+            "value": 0.0,
+            "unit": "fields/s",
+            "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        }
+        try:
+            lg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_last_good.json")
+            with open(lg) as f:
+                rec["last_known_good"] = json.load(f)
+        except Exception:
+            pass
+        print(json.dumps(rec), flush=True)
+        return 1
 
 
 if __name__ == "__main__":
