@@ -84,6 +84,25 @@ class KittiFlowDataset:
         )
 
 
+def affine_warp_pad(H: int, W: int, max_t: float, max_angle: float,
+                    scales: tuple[float, float]) -> int:
+    """Canvas margin covering the worst-case INVERSE-warp displacement of a
+    crop pixel (warpAffine samples src at M^-1 p): for p = c + r,
+    |M^-1 p - p| <= |(1/sc) R^-1 - I| |r| + |t|/sc, maximized at the crop
+    corner and a scale-range endpoint.  A size-INDEPENDENT pad silently
+    leaks warp-border pixels into frame 2 while the GT still claims exact
+    affine motion (at 640x480 hard-regime draws the corner displacement
+    reaches ~92 px vs the old fixed 48)."""
+    diag = 0.5 * float(np.hypot(H, W))
+    ang_r = float(np.deg2rad(max_angle))
+    rot_gain = max(
+        float(np.sqrt(1.0 + k * k - 2.0 * k * np.cos(ang_r)))
+        for k in (1.0 / min(scales), 1.0 / max(scales))
+    )
+    return int(np.ceil(rot_gain * diag
+                       + np.sqrt(2.0) * max_t / min(scales))) + 4
+
+
 def synthetic_eval_pairs(n: int = 8, H: int = 128, W: int = 160, seed: int = 0,
                          hard: bool = False):
     """Warped-noise pairs with exact ground truth (affine flows) — the
@@ -99,7 +118,8 @@ def synthetic_eval_pairs(n: int = 8, H: int = 128, W: int = 160, seed: int = 0,
     import cv2
 
     rng = np.random.default_rng(seed)
-    pad = 48 if hard else 32
+    pad = (affine_warp_pad(H, W, 16.0, 8.0, (0.92, 1.1)) if hard
+           else affine_warp_pad(H, W, 4.0, 2.0, (0.98, 1.02)))
     out = []
     for i in range(n):
         base = cv2.GaussianBlur(
@@ -161,7 +181,8 @@ def fishnet_eval_pairs(n: int = 32, H: int = 480, W: int = 640, seed: int = 0,
     import cv2
 
     rng = np.random.default_rng(seed)
-    pad = 48 if hard else 32
+    pad = (affine_warp_pad(H, W, 16.0, 8.0, (0.92, 1.1)) if hard
+           else affine_warp_pad(H, W, 4.0, 2.0, (0.98, 1.02)))
 
     sources = []
     path = image_path or _FISHNET_PNG

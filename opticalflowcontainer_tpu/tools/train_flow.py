@@ -82,19 +82,12 @@ def make_affine_batch(rng, B=8, H=96, W=128, max_t=16.0, max_angle=8.0,
     import cv2
     import numpy as np
 
-    # canvas margin must cover the worst-case INVERSE-warp displacement of a
-    # crop pixel (warpAffine samples src at M^-1 p), or zero-border pixels
-    # leak into img2 while flow[] still claims exact affine motion: for
-    # p = c + r, |M^-1 p - p| <= |(1/sc) R^-1 - I| |r| + |t|/sc, maximized at
-    # the crop corner and the scale-range endpoints
-    diag = 0.5 * float(np.hypot(H, W))
-    ang_r = float(np.deg2rad(max_angle))
-    rot_gain = max(
-        float(np.sqrt(1.0 + k * k - 2.0 * k * np.cos(ang_r)))
-        for k in (1.0 / min(scales), 1.0 / max(scales))
-    )
-    pad = int(np.ceil(rot_gain * diag
-                      + np.sqrt(2.0) * max_t / min(scales))) + 4
+    # canvas margin covering the worst-case inverse-warp displacement (a
+    # fixed pad leaked zero-border pixels into img2 at >=128x192 — corrupted
+    # supervision); the same helper sizes the eval generators' canvases
+    from ..eval.datasets import affine_warp_pad
+
+    pad = affine_warp_pad(H, W, max_t, max_angle, scales)
     img1 = np.zeros((B, H, W, 3), np.float32)
     img2 = np.zeros((B, H, W, 3), np.float32)
     flow = np.zeros((B, H, W, 2), np.float32)

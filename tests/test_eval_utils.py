@@ -48,6 +48,37 @@ def test_synthetic_gt_consistent_with_farneback(rng):
     assert epe(flow[inner], gt[inner]) < 0.4
 
 
+def test_eval_pairs_pad_covers_warp_border():
+    """Eval generators must never leak warp-border pixels into img2 (the GT
+    claims exact affine motion everywhere): with warpAffine's border forced
+    to NaN, the hard fishnet suite at its real 640x480 operating point must
+    contain no NaN.  The old fixed pad=48 needed ~92 px at extremal draws."""
+    import cv2
+
+    from opticalflowcontainer_tpu.eval.datasets import (
+        fishnet_eval_pairs,
+        synthetic_eval_pairs,
+    )
+
+    orig_wa = cv2.warpAffine
+
+    def nan_wa(src, M, dsize, *a, **k):
+        k.setdefault("borderValue",
+                     (float("nan"),) * 4 if src.ndim == 3 else float("nan"))
+        return orig_wa(src, M, dsize, *a, **k)
+
+    cv2.warpAffine = nan_wa
+    try:
+        pairs = fishnet_eval_pairs(8, hard=True)
+        pairs += synthetic_eval_pairs(4, H=128, W=160, hard=True)
+    finally:
+        cv2.warpAffine = orig_wa
+    for img1, img2, gt, _ in pairs:
+        assert not np.isnan(img2).any()
+        assert not np.isnan(img1).any()
+        assert not np.isnan(gt).any()
+
+
 def test_npz_ckpt_roundtrip(tmp_path):
     """run_eval --ckpt candidate.npz must reproduce the train_flow flat-npz
     save format exactly (keys '/'-joined, values raw arrays)."""
