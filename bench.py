@@ -97,6 +97,32 @@ def _bench_main(argv=None):
     _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_last_good.json")
 
+    def _save_last_good(partial: bool) -> None:
+        """Persist the record-so-far after every completed leg: a degraded
+        tunnel can hang ANY later leg's remote compile past the watchdog, and
+        a full-run-only save would erase an already-measured headline from
+        the next run's last_known_good.  A full record is only ever replaced
+        by another full record; partials fill the gap until one lands."""
+        rec = state["record"]
+        if args.quick or args.cpu or not rec.get("value"):
+            return  # only real full-run TPU measurements are worth keeping
+        try:
+            if partial:
+                try:
+                    with open(_LAST_GOOD) as f:
+                        if not json.load(f).get("partial", False):
+                            return  # keep the existing full record
+                except (OSError, ValueError):
+                    pass
+            rd = dict(rec)
+            rd["partial"] = partial
+            rd["recorded_at"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            with open(_LAST_GOOD, "w") as f:
+                json.dump(rd, f)
+        except Exception:
+            pass
+
     def _watchdog(deadline_s):
         time.sleep(deadline_s)
         if not state["done"]:
@@ -294,6 +320,7 @@ def _bench_main(argv=None):
               f"chain difference)", file=sys.stderr)
     if epe is not None:
         record["epe_vs_cv2_px"] = round(epe, 5)
+    _save_last_good(partial=True)
 
     if not args.no_roofline:
         # HBM roofline: (a) measured streaming ceiling of this slice — an
@@ -353,6 +380,7 @@ def _bench_main(argv=None):
             record["bytes_per_field_mb"] = round(bytes_per_field / 1e6, 1)
             record["achieved_gbps"] = round(achieved, 1)
             record["pct_of_ceiling"] = round(100.0 * achieved / ceiling_gbps, 1)
+        _save_last_good(partial=True)
         if not args.json_only:
             msg = (f"# roofline: ceiling {ceiling_gbps:.0f} GB/s"
                    + (f"; pipeline moves {bytes_per_field / 1e6:.0f} MB/field "
@@ -393,6 +421,7 @@ def _bench_main(argv=None):
         lk_ms = t_lk / lk_reps * 1000.0
         record["lk_640x480_500pts_ms_per_frame"] = round(lk_ms, 2)
         record["lk_tracks_per_sec"] = round(Npts / (t_lk / lk_reps), 0)
+        _save_last_good(partial=True)
         if not args.json_only:
             print(f"# sparse LK 640x480/500 corners: {lk_ms:.2f} ms/frame "
                   f"({record['lk_tracks_per_sec']:.0f} tracks/s)",
@@ -471,6 +500,7 @@ def _bench_main(argv=None):
         msf2.stop()
         e2e_fps = (msf2.fields - fields0) / (time.time() - t_start_ms)
         record["multistream_2x1080p_e2e_fields_per_sec"] = round(e2e_fps, 1)
+        _save_last_good(partial=True)
         if not args.json_only:
             print(f"# multistream 2x1080p: device {dev_field_ms:.1f} ms/field "
                   f"({record['multistream_2x1080p_device_fields_per_sec']} "
@@ -516,6 +546,7 @@ def _bench_main(argv=None):
         record["stream_held_30fps"] = lat["held_rate"]
         record["stream_sync_every"] = lat["sync_every"]
         record["stream_device_ms_per_frame"] = round(dev_ms, 2)
+        _save_last_good(partial=True)
         if not args.json_only:
             print(f"# stream 640x480@30 (sync_every=2): p50 {lat['p50_ms']:.1f} ms / "
                   f"p99 {lat['p99_ms']:.1f} ms; sustained "
@@ -579,6 +610,7 @@ def _bench_main(argv=None):
             record["lfn3_stream_p50_latency_ms"] = round(lat3["p50_ms"], 2)
             record["lfn3_stream_held_30fps"] = lat3["held_rate"]
             record["lfn3_device_ms_per_frame"] = round(t_l / l_reps * 1000, 2)
+            _save_last_good(partial=True)
             if not args.json_only:
                 print(f"# LFN3 stream 640x480@30 (sync_every=2): sustained "
                       f"{lat3['sustained_fps']:.1f} fps "
@@ -587,15 +619,7 @@ def _bench_main(argv=None):
                       file=sys.stderr)
 
     state["done"] = True
-    if not args.quick and record.get("value", 0) > 0:
-        try:
-            record_disk = dict(record)
-            record_disk["recorded_at"] = time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-            with open(_LAST_GOOD, "w") as f:
-                json.dump(record_disk, f)
-        except Exception:
-            pass
+    _save_last_good(partial=False)
     print(json.dumps(record))
     return 0
 
