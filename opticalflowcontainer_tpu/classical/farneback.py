@@ -1026,15 +1026,18 @@ def farneback_bytes_per_field(H: int, W: int, levels: int = 3,
 
         # poly-direct expansion (8+ banded matmuls, full-res image in):
         # 3 vertical-pass reads of the image, 3 t-intermediate writes +
-        # 6 reads ([rows_p, W] f32), plus the warp kernel's phase copies:
+        # 6 reads ([rows_p, W] in POLY_T_DTYPE), plus the warp kernel's
+        # phase copies:
         # on r0src levels emitted DIRECTLY by row-shifted horizontal
         # operators (BLOCK_WARP_PHASES x 5 padded bf16 planes out, no stack
         # round-trip, and R0 blocks are DMA'd from phase copy 1 in-kernel —
         # no R0 slice materializes); other levels emit 5 planes then the
         # wrapper stacks the phase copies (1 read + PHASES writes) and clip
         # shared levels materialize the R0 core slice
+        t_bytes = (jnp.dtype(POLY_T_DTYPE).itemsize
+                   if POLY_T_DTYPE is not None else f32)
         poly = (3 * H * W * f32
-                + 9 * rows_p * W * f32
+                + 9 * rows_p * W * t_bytes
                 + BLOCK_WARP_PHASES * 5 * padded * bf16)
         if not r0src:
             # emit write (5*padded) + stack read (5*padded) on top of the
