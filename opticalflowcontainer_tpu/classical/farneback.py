@@ -902,19 +902,29 @@ def farneback_batched(prev: jax.Array, next: jax.Array, **kwargs) -> jax.Array:
 
 def farneback_stream_planes(gray: jax.Array, pyr_scale: float = 0.5,
                             levels: int = 3, poly_n: int = 5,
-                            poly_sigma: float = 1.2, **_unused):
+                            poly_sigma: float = 1.2, share: str = "all",
+                            **_unused):
     """Per-level padded expansion planes of one frame — the device-resident
     state for :func:`farneback_stream_step`.  ``gray`` is [H, W] f32.
-    Returns a tuple (coarsest..finest) of [1, 5, rows, cols] bf16 planes in
-    the block-warp padded layout."""
+
+    ``share="all"`` (default): returns a tuple (coarsest..finest) of
+    [1, 5, rows, cols] bf16 planes in the block-warp padded layout.
+
+    ``share="finest"``: returns ``(gray [N, H, W] f32, finest planes)`` —
+    the large-frame stream state.  Above ~1.5 Mpx the composed all-levels
+    shared program hits the XLA R0-slice fusion blowup at the coarse levels
+    (round-2 1080p finding: +52 ms/field from the coarsest level alone), so
+    only the finest level — which carries most of the expansion traffic —
+    is shared; the coarse levels re-expand pairwise from the stored gray."""
     H, W = gray.shape[-2], gray.shape[-1]
     n_levels = _num_levels(H, W, levels, pyr_scale)
     bh, bwd = BLOCK_WARP_BLOCK
     pad_y, pad_x = BLOCK_WARP_PAD
     lead = gray.shape[:-2] if gray.ndim > 2 else (1,)
     g = gray.reshape(lead + (H, W)).astype(jnp.float32)
+    ks = (0,) if share == "finest" else tuple(range(n_levels, -1, -1))
     out = []
-    for k in range(n_levels, -1, -1):
+    for k in ks:
         scale = pyr_scale**k
         lh, lw = _level_size(H, W, scale)
         sigma = (1.0 / scale - 1.0) * 0.5
@@ -924,6 +934,8 @@ def farneback_stream_planes(gray: jax.Array, pyr_scale: float = 0.5,
             float(poly_sigma), pad_y, pad_x, _round_up(lh, bh),
             _round_up(lw, bwd))
         out.append(_poly_planes_direct(g, mats1, out_dtype=BLOCK_WARP_DTYPE))
+    if share == "finest":
+        return (g, out[0])
     return tuple(out)
 
 
@@ -931,7 +943,7 @@ def farneback_stream_step(prev_planes, gray: jax.Array,
                           pyr_scale: float = 0.5, levels: int = 3,
                           winsize: int = 15, iterations: int = 3,
                           poly_n: int = 5, poly_sigma: float = 1.2,
-                          flags: int = 0):
+                          flags: int = 0, share: str = "all"):
     """One streaming Farneback step with the previous frame's polynomial
     expansion carried as device state: ``(prev_planes, gray [H, W]) ->
     (flow [H, W, 2], planes)``; batched form ``gray [N, H, W] ->
@@ -939,9 +951,14 @@ def farneback_stream_step(prev_planes, gray: jax.Array,
     so each streamed frame is expanded exactly once (the pairwise entry
     re-expands the previous frame every call — cv2's per-call contract, and
     the reference hot loop's cost, reference lfn3_node.py:145-210).  State
-    layout matches :func:`farneback_stream_planes`; frame t-1's R0 role is
-    the core slice of its padded planes (exact — see
-    :func:`_blockwarp_flow`)."""
+    layout matches :func:`farneback_stream_planes` (same ``share``); frame
+    t-1's R0 role is the core slice of its padded planes (exact — see
+    :func:`_blockwarp_flow`).
+
+    ``share="finest"`` (large frames, above the all-levels share gate):
+    state is ``(prev_gray, finest planes)``; the coarse levels re-expand
+    both frames pairwise (cheap at 2x+ downsampled sizes) and only the
+    finest level — most of the expansion traffic — reuses stored planes."""
     H, W = gray.shape[-2], gray.shape[-1]
     n_levels = _num_levels(H, W, levels, pyr_scale)
     use_gauss = bool(flags & OPTFLOW_FARNEBACK_GAUSSIAN)
@@ -950,6 +967,10 @@ def farneback_stream_step(prev_planes, gray: jax.Array,
     batched = gray.ndim > 2
     N = gray.shape[0] if batched else 1
     g = gray.reshape(N, H, W).astype(jnp.float32)
+    finest = share == "finest"
+    if finest:
+        prev_gray, finest_planes = prev_planes
+        prev_gray = prev_gray.reshape(N, H, W)
     new_planes = []
     u = v = None
     for i, k in enumerate(range(n_levels, -1, -1)):
@@ -967,16 +988,34 @@ def farneback_stream_step(prev_planes, gray: jax.Array,
         mats1 = _poly_direct_matrices(
             H, W, lh, lw, smooth_sz, float(sigma), poly_n,
             float(poly_sigma), pad_y, pad_x, rows_out, cols_out)
+        if finest and k > 0:
+            # coarse level, pair-mode: both frames expanded fresh (the
+            # composed all-levels share program blows up here — see
+            # farneback_stream_planes)
+            mats0 = _poly_direct_matrices(
+                H, W, lh, lw, smooth_sz, float(sigma), poly_n,
+                float(poly_sigma), 0, 0, rows_out, cols_out)
+            R0 = _poly_planes_direct(prev_gray, mats0, out_dtype=R0_DTYPE)
+            R1p = _poly_planes_direct(
+                g, mats1, out_dtype=BLOCK_WARP_DTYPE,
+                phases=BLOCK_WARP_PHASES if BLOCK_WARP_FUSE else None)
+            for _ in range(iterations):
+                M = _update_matrices_planes(R0, R1p, u, v, (lh, lw),
+                                            src_prestacked=BLOCK_WARP_FUSE)
+                u, v = _solve_flow_planes(M, winsize, use_gauss)
+            continue
         R1p = _poly_planes_direct(g, mats1, out_dtype=BLOCK_WARP_DTYPE)
         new_planes.append(R1p)
+        stored = finest_planes if finest else prev_planes[i]
         R0 = jax.lax.slice(
-            prev_planes[i], (0, 0, pad_y, pad_x),
+            stored, (0, 0, pad_y, pad_x),
             (N, 5, pad_y + rows_out, pad_x + cols_out))
         for _ in range(iterations):
             M = _update_matrices_planes(R0, R1p, u, v, (lh, lw))
             u, v = _solve_flow_planes(M, winsize, use_gauss)
     flow = jnp.stack([u, v], axis=-1)
-    return (flow if batched else flow[0]), tuple(new_planes)
+    state = (g, new_planes[0]) if finest else tuple(new_planes)
+    return (flow if batched else flow[0]), state
 
 
 def farneback_bytes_per_field(H: int, W: int, levels: int = 3,

@@ -65,18 +65,19 @@ def _fused_step(prev_gray, frame, mask, aggregate: str, masked: bool,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("aggregate", "masked", "fb_kwargs")
+    jax.jit, static_argnames=("aggregate", "masked", "fb_kwargs", "share")
 )
 def _fused_step_planes(prev_planes, frame, mask, aggregate: str, masked: bool,
-                       fb_kwargs: tuple):
+                       fb_kwargs: tuple, share: str = "all"):
     """Planes-carrying fused step (TPU block-warp path): the device state is
-    the previous frame's per-level polynomial-expansion planes, so each
-    streamed frame is expanded exactly once
+    the previous frame's polynomial-expansion planes — every pyramid level
+    below the share gate, ``(gray, finest planes)`` above it — so each
+    streamed frame's shared levels are expanded exactly once
     (:func:`classical.farneback.farneback_stream_step`)."""
     f = frame.astype(jnp.float32)
     gray = bgr_to_gray(f) if f.ndim == 3 else f
     flow, planes = _fb.farneback_stream_step(
-        prev_planes, gray, **dict(fb_kwargs))
+        prev_planes, gray, share=share, **dict(fb_kwargs))
     return planes, _aggregate_u(flow[..., 0], mask, aggregate, masked)
 
 
@@ -84,9 +85,17 @@ def _planes_mode() -> bool:
     return _fb._on_tpu() and _fb.BLOCK_WARP
 
 
-@functools.partial(jax.jit, static_argnames=("fb_kwargs",))
-def _stream_planes(gray, fb_kwargs: tuple):
-    return _fb.farneback_stream_planes(gray, **dict(fb_kwargs))
+def _share_mode(height: int, width: int) -> str:
+    """Share every level below the measured gate; above it the composed
+    all-levels program hits the coarse-level R0-slice fusion blowup, so only
+    the finest level's expansion is carried (classical/farneback.py)."""
+    return ("all" if height * width <= _fb.CLIP_SHARE_ALL_MAX_PIXELS
+            else "finest")
+
+
+@functools.partial(jax.jit, static_argnames=("fb_kwargs", "share"))
+def _stream_planes(gray, fb_kwargs: tuple, share: str = "all"):
+    return _fb.farneback_stream_planes(gray, share=share, **dict(fb_kwargs))
 
 
 class FusedFarnebackStream:
@@ -102,6 +111,7 @@ class FusedFarnebackStream:
         self._state = None  # prev gray (lax path) or prev planes (block path)
         self._planes_mode = _planes_mode()
         self._planes_active = self._planes_mode
+        self._share = "all"
 
     def reset(self):
         self._state = None
@@ -121,23 +131,26 @@ class FusedFarnebackStream:
             gray = bgr_to_gray(f) if f.ndim == 3 else f
             # decided per stream start (reset() + a new first frame
             # re-evaluates — the gate must not latch across resolution
-            # changes): the planes state shares every pyramid level; above
-            # the measured gate that slice/fusion combination regresses
-            # (classical/farneback.py) — carry the gray instead
-            self._planes_active = (
-                self._planes_mode
-                and gray.shape[-2] * gray.shape[-1]
-                <= _fb.CLIP_SHARE_ALL_MAX_PIXELS
-            )
-            self._state = (_stream_planes(gray, self.fb_kwargs)
-                           if self._planes_active else gray)
+            # changes): below the measured gate the planes state shares
+            # every pyramid level; above it only the finest level is shared
+            # (classical/farneback.py share="finest")
+            self._planes_active = self._planes_mode
+            self._share = _share_mode(gray.shape[-2], gray.shape[-1])
+            self._state = (
+                _stream_planes(gray, self.fb_kwargs, self._share)
+                if self._planes_active else gray)
             return None
         m = jnp.zeros((), bool) if mask is None else jnp.asarray(mask, bool)
-        step_fn = _fused_step_planes if self._planes_active else _fused_step
-        self._state, du = step_fn(
-            self._state, frame, m, self.aggregate, mask is not None,
-            self.fb_kwargs,
-        )
+        if self._planes_active:
+            self._state, du = _fused_step_planes(
+                self._state, frame, m, self.aggregate, mask is not None,
+                self.fb_kwargs, self._share,
+            )
+        else:
+            self._state, du = _fused_step(
+                self._state, frame, m, self.aggregate, mask is not None,
+                self.fb_kwargs,
+            )
         return du
 
 
@@ -426,12 +439,17 @@ def measure_device_stream_ms(
         [base[:, i : i + width] for i in range(n_steps)]
     )
     kw = tuple(sorted(fb_kwargs.items()))
-    planes = _planes_mode() and height * width <= _fb.CLIP_SHARE_ALL_MAX_PIXELS
-    step_fn = _fused_step_planes if planes else _fused_step
+    planes = _planes_mode()
+    share = _share_mode(height, width)
 
     def chained(stack, s0):
         def body(s, fr):
-            s2, du = step_fn(s, fr, jnp.zeros((), bool), aggregate, False, kw)
+            if planes:
+                s2, du = _fused_step_planes(
+                    s, fr, jnp.zeros((), bool), aggregate, False, kw, share)
+            else:
+                s2, du = _fused_step(
+                    s, fr, jnp.zeros((), bool), aggregate, False, kw)
             return s2, du
         s_end, dus = jax.lax.scan(body, s0, stack)
         return dus.sum() + jax.tree_util.tree_reduce(
@@ -441,7 +459,7 @@ def measure_device_stream_ms(
     fn = jax.jit(chained)
     stack = jnp.asarray(frames)
     g0 = bgr_to_gray(jnp.asarray(frames[0], jnp.float32))
-    s0 = _stream_planes(g0, kw) if planes else g0
+    s0 = _stream_planes(g0, kw, share) if planes else g0
     float(fn(stack, s0))  # compile
     t0 = time.perf_counter()
     float(fn(stack, s0))

@@ -228,21 +228,25 @@ def make_stateful_batched_fused_farneback(n_streams: int,
     # [n_streams+1, 5, rows, cols] state per level every batch just to
     # update the few ready rows (the caller strictly threads state ->
     # state2, never reusing the old buffers)
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def steady(state, cur, idx):
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("share",))
+    def steady(state, cur, idx, share):
         R0 = tuple(L[idx] for L in state)
-        flow, newp = fb.farneback_stream_step(R0, cur, **kwargs)
+        flow, newp = fb.farneback_stream_step(R0, cur, share=share, **kwargs)
         state2 = tuple(L.at[idx].set(P) for L, P in zip(state, newp))
         return state2, _du(flow[..., 0])
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def seed_step(state, prev, cur, idx, fresh):
-        seeded = fb.farneback_stream_planes(prev, **kwargs)
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       static_argnames=("share",))
+    def seed_step(state, prev, cur, idx, fresh, share):
+        seeded = fb.farneback_stream_planes(prev, share=share, **kwargs)
         R0 = tuple(
-            jnp.where(fresh[:, None, None, None], S, L[idx])
+            # per-leaf broadcast: plane leaves are [N, 5, rows, cols], the
+            # finest-mode gray leaf is [N, H, W]
+            jnp.where(fresh.reshape((-1,) + (1,) * (L.ndim - 1)), S, L[idx])
             for L, S in zip(state, seeded)
         )
-        flow, newp = fb.farneback_stream_step(R0, cur, **kwargs)
+        flow, newp = fb.farneback_stream_step(R0, cur, share=share, **kwargs)
         state2 = tuple(L.at[idx].set(P) for L, P in zip(state, newp))
         return state2, _du(flow[..., 0])
 
@@ -250,19 +254,17 @@ def make_stateful_batched_fused_farneback(n_streams: int,
     stream_seeded = np.zeros(n_streams + 1, bool)
     stream_seeded[n_streams] = True  # scratch slot: never re-seed
 
-    fallback = None
+    share = None
 
     def backend(prev, cur, idxs, dropped=None):
-        nonlocal state, fallback
-        if fallback is None and (cur.shape[-2] * cur.shape[-1]
-                                 > fb.CLIP_SHARE_ALL_MAX_PIXELS):
-            # the planes state shares every pyramid level; above the measured
-            # gate that combination regresses (classical/farneback.py) —
-            # route to the stateless pair backend instead
-            fallback = make_batched_fused_farneback(
-                n_streams, aggregate=aggregate, **kwargs)
-        if fallback is not None:
-            return fallback(prev, cur)
+        nonlocal state, share
+        if share is None:
+            # the all-levels planes state regresses above the measured gate
+            # (coarse-level R0-slice fusion blowup, classical/farneback.py);
+            # large frames carry (gray, finest planes) instead — the finest
+            # level is most of the expansion traffic
+            share = ("all" if cur.shape[-2] * cur.shape[-1]
+                     <= fb.CLIP_SHARE_ALL_MAX_PIXELS else "finest")
         n = cur.shape[0]
         idx = np.full(R, n_streams, np.int32)
         idx[:n] = np.asarray(idxs, np.int32)
@@ -274,7 +276,7 @@ def make_stateful_batched_fused_farneback(n_streams: int,
             state = tuple(
                 jnp.zeros((n_streams + 1,) + tuple(L.shape[1:]), L.dtype)
                 for L in fb.farneback_stream_planes(
-                    jnp.asarray(prev_p[:1]), **kwargs)
+                    jnp.asarray(prev_p[:1]), share=share, **kwargs)
             )
         fresh = ~stream_seeded[idx]
         if dropped is not None:
@@ -284,10 +286,10 @@ def make_stateful_batched_fused_farneback(n_streams: int,
         if fresh[:n].any():
             state, du = seed_step(state, jnp.asarray(prev_p),
                                   jnp.asarray(cur_p), idx,
-                                  jnp.asarray(fresh))
+                                  jnp.asarray(fresh), share)
             stream_seeded[idx[:n]] = True
         else:
-            state, du = steady(state, jnp.asarray(cur_p), idx)
+            state, du = steady(state, jnp.asarray(cur_p), idx, share)
         return np.asarray(du)[:n]
 
     backend.returns_displacement = True

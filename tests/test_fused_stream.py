@@ -222,3 +222,65 @@ def test_fused_planes_mode_matches_gray_path(monkeypatch):
         # gray path = exact lax gather fp32; planes path = block-warp kernel
         # with bf16 patches — same tolerance as the kernel-vs-exact guard
         assert abs(float(r) - float(o)) < 0.05, (float(r), float(o))
+
+
+def test_fused_finest_share_matches_all_share(monkeypatch):
+    """Above the share gate the stream state is (gray, finest planes): the
+    coarse levels re-expand pairwise, only the finest level reuses stored
+    planes.  Same math, different sharing — the per-frame displacements must
+    match the all-levels planes path bit-closely (both run the block-warp
+    kernel; the finest R0 slice is exact placement)."""
+    import opticalflowcontainer_tpu.classical.farneback as fb
+    import opticalflowcontainer_tpu.runtime.fused as fused
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "_on_tpu", lambda: True)
+
+    f = _frames(n=4, h=96, w=128)
+    ref = fused.FusedFarnebackStream(aggregate="mean", **FB)
+    refs = [ref.step(fr) for fr in f]
+    assert ref._share == "all"
+
+    monkeypatch.setattr(fb, "CLIP_SHARE_ALL_MAX_PIXELS", 1000)
+    st = fused.FusedFarnebackStream(aggregate="mean", **FB)
+    outs = [st.step(fr) for fr in f]
+    assert st._share == "finest" and st._planes_active
+    assert refs[0] is None and outs[0] is None
+    for r, o in zip(refs[1:], outs[1:]):
+        assert abs(float(r) - float(o)) < 1e-3, (float(r), float(o))
+
+
+def test_farneback_stream_step_finest_matches_pairwise(monkeypatch):
+    """farneback_stream_step(share='finest') must reproduce the pairwise
+    block-warp flow field exactly-ish: the coarse levels ARE the pair
+    program and the finest stored-planes R0 is the same exact core slice
+    the all-levels state uses."""
+    import jax.numpy as jnp
+
+    import opticalflowcontainer_tpu.classical.farneback as fb
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "_on_tpu", lambda: True)
+
+    rng = np.random.default_rng(7)
+    base = rng.uniform(0, 255, (96, 128 + 6)).astype(np.float32)
+    f0, f1, f2 = (base[:, 2 * t : 2 * t + 128] for t in range(3))
+    kw = dict(levels=2, winsize=13, iterations=2)
+
+    want01 = np.asarray(fb.calc_optical_flow_farneback(
+        jnp.asarray(f0), jnp.asarray(f1), **kw))
+    want12 = np.asarray(fb.calc_optical_flow_farneback(
+        jnp.asarray(f1), jnp.asarray(f2), **kw))
+
+    state = fb.farneback_stream_planes(jnp.asarray(f0), share="finest", **kw)
+    flow01, state = fb.farneback_stream_step(
+        state, jnp.asarray(f1), share="finest", **kw)
+    flow12, state = fb.farneback_stream_step(
+        state, jnp.asarray(f2), share="finest", **kw)
+    # the padded-operator slice is exact placement, but f32 accumulation
+    # order differs between the padded and unpadded banded matmuls; isolated
+    # pixels at solve near-degeneracies amplify that, so bound mean + max
+    for flow, want in ((flow01, want01), (flow12, want12)):
+        d = np.linalg.norm(np.asarray(flow) - want, axis=-1)
+        assert d.mean() < 1e-3, d.mean()
+        assert d.max() < 0.1, d.max()

@@ -221,3 +221,42 @@ def test_multistream_stateful_reseeds_after_drop(monkeypatch):
     st2(frames[0][None], frames[1][None], [0])
     stale = st2(frames[2][None], frames[3][None], [0], dropped=[False])
     assert abs(float(stale[0]) - float(want[0])) > 1e-3
+
+
+def test_multistream_stateful_finest_share_large_frames(monkeypatch):
+    """Above the share gate the stateful backend carries (gray, finest
+    planes) instead of falling back to the stateless pair program: seeding,
+    steady reuse, late joins, and dropped-pair reseeds must all match the
+    stateless backend's displacements."""
+    import opticalflowcontainer_tpu.classical.farneback as fb
+    from opticalflowcontainer_tpu.runtime.multistream import (
+        make_batched_fused_farneback,
+        make_stateful_batched_fused_farneback,
+    )
+
+    monkeypatch.setattr(fb, "BLOCK_WARP_INTERPRET", True)
+    monkeypatch.setattr(fb, "_on_tpu", lambda: True)
+    monkeypatch.setattr(fb, "CLIP_SHARE_ALL_MAX_PIXELS", 1000)
+
+    rng = np.random.default_rng(11)
+    kw = dict(levels=1, winsize=11, iterations=1)
+    n = 2
+    frames = rng.uniform(0, 255, (4, n, 96, 128)).astype(np.float32)
+
+    ref = make_batched_fused_farneback(n, **kw)
+    st = make_stateful_batched_fused_farneback(n, **kw)
+
+    idxs = [0]
+    want = ref(frames[0][idxs], frames[1][idxs])
+    got = st(frames[0][idxs], frames[1][idxs], idxs)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+    idxs = [0, 1]  # stream 1 joins late (seed) while 0 runs steady
+    want = ref(frames[1][idxs], frames[2][idxs])
+    got = st(frames[1][idxs], frames[2][idxs], idxs)
+    np.testing.assert_allclose(got, want, atol=5e-3)
+
+    # dropped pair: stored state predates the prev frame -> reseed row 0
+    want = ref(frames[2][idxs], frames[3][idxs])
+    got = st(frames[2][idxs], frames[3][idxs], idxs, dropped=[True, False])
+    np.testing.assert_allclose(got, want, atol=5e-3)
