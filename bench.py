@@ -276,6 +276,10 @@ def _bench_main(argv=None):
         # back to the wall number — the raw difference is recorded here
         record["device_time_unreliable_ms"] = device_unreliable_ms
     state["record"] = record  # in-place leg updates below stay visible
+    # persist the headline BEFORE the EPE leg: the EPE check jits a fresh
+    # single-call program (a remote compile — the likeliest hang point) and
+    # a watchdog abort there must not erase the measured value (ADVICE r3)
+    _save_last_good(partial=True)
 
     epe = None
     if args.check_epe:

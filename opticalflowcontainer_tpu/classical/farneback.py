@@ -83,6 +83,15 @@ BLOCK_WARP_DTYPE = jnp.bfloat16  # patch DMA dtype; accumulation stays fp32
 # the padded planes at EVERY pyramid level; larger frames share only the
 # finest level (per-resolution measurements in _blockwarp_flow's comment)
 CLIP_SHARE_ALL_MAX_PIXELS = 1_500_000
+
+
+def share_mode(height: int, width: int) -> str:
+    """Shared-expansion mode for a frame size: "all" below the measured gate
+    (every pyramid level's planes are carried/shared), "finest" above it
+    (the composed all-levels program hits the coarse-level R0-slice fusion
+    blowup at 1080p — see :func:`_blockwarp_flow`).  The ONE place the gate
+    expression lives; runtime.fused and runtime.multistream call this."""
+    return "all" if height * width <= CLIP_SHARE_ALL_MAX_PIXELS else "finest"
 BLOCK_WARP_REALIGN = "roll"  # patch realign: "roll" (lane rotates) | "matmul"
 BLOCK_WARP_PHASES = 2  # 64-lane-shifted source copies: narrower patches
 # Tap selection form inside the warp kernel ("slice" | "roll"); measured
@@ -1018,11 +1027,12 @@ def farneback_stream_step(prev_planes, gray: jax.Array,
     return (flow if batched else flow[0]), state
 
 
-def farneback_bytes_per_field(H: int, W: int, levels: int = 3,
-                              pyr_scale: float = 0.5, iterations: int = 3,
-                              clip_frames: int | None = 5) -> float:
-    """Analytic HBM traffic per computed flow field (bytes) on the TPU
-    block-warp path — the roofline numerator bench.py reports.
+def farneback_traffic_breakdown(H: int, W: int, levels: int = 3,
+                                pyr_scale: float = 0.5, iterations: int = 3,
+                                clip_frames: int | None = 5) -> dict:
+    """Analytic HBM traffic per computed flow field on the TPU block-warp
+    path, broken down by stage AND by pyramid level — the roofline numerator
+    plus the per-stage table tools/stage_roofline.py measures against.
 
     Counts the arrays each stage actually moves: patch DMAs at their true
     tile-quantized patch sizes (XLA's cost analysis instead charges the
@@ -1031,7 +1041,11 @@ def farneback_bytes_per_field(H: int, W: int, levels: int = 3,
     R0 slice materializations that feed the kernel.  Boundary effects and
     the small banded-operator literals are ignored, so treat it as a
     careful estimate (+-15%), not an exact meter.
-    """
+
+    Returns ``{"poly": b, "update": b, "solve": b, "resize": b, "total": b,
+    "levels": [{"k": k, "lh": lh, "lw": lw, "poly": b, "update_per_iter": b,
+    "solve_per_iter": b, ...}, ...]}`` (bytes per FIELD; per-iteration stage
+    entries are also given un-multiplied for isolated-stage probes)."""
     from ..ops.blockwarp import _geometry
 
     bh, bwd = BLOCK_WARP_BLOCK
@@ -1050,7 +1064,8 @@ def farneback_bytes_per_field(H: int, W: int, levels: int = 3,
     exp_per_field_shared = (T / (T - 1.0)) if T else 2.0
     f32, bf16 = 4, 2
 
-    total = 0.0
+    out = {"poly": 0.0, "update": 0.0, "solve": 0.0, "resize": 0.0,
+           "levels": []}
     for k in range(n_levels, -1, -1):
         scale = pyr_scale**k
         lh, lw = _level_size(H, W, scale)
@@ -1084,7 +1099,6 @@ def farneback_bytes_per_field(H: int, W: int, levels: int = 3,
             poly += 2 * 5 * padded * bf16
             if shared:
                 poly += 5 * core * bf16  # R0 slice materialization
-        total += exp * poly
 
         nblocks = (rows_out // bh) * (cols_out // bwd)
         patch = nblocks * 5 * ph * pw * bf16
@@ -1095,10 +1109,29 @@ def farneback_bytes_per_field(H: int, W: int, levels: int = 3,
         slv = (5 * lh * lw * bf16        # M read (core slice)
                + 2 * 5 * lh * lw * bf16  # Bv intermediate write + read
                + 2 * lh * lw * f32)      # u, v write
-        total += iterations * (upd + slv)
-        # inter-level flow resize: read + write u, v at the next level
-        total += 2 * 2 * lh * lw * f32
-    return total
+        rsz = 2 * 2 * lh * lw * f32  # inter-level flow resize: r+w u, v
+        out["poly"] += exp * poly
+        out["update"] += iterations * upd
+        out["solve"] += iterations * slv
+        out["resize"] += rsz
+        out["levels"].append({
+            "k": k, "lh": lh, "lw": lw,
+            "poly": exp * poly, "poly_per_expansion": poly,
+            "update_per_iter": upd, "patch_per_iter": patch,
+            "solve_per_iter": slv, "resize": rsz,
+        })
+    out["total"] = out["poly"] + out["update"] + out["solve"] + out["resize"]
+    return out
+
+
+def farneback_bytes_per_field(H: int, W: int, levels: int = 3,
+                              pyr_scale: float = 0.5, iterations: int = 3,
+                              clip_frames: int | None = 5) -> float:
+    """Total analytic HBM bytes per flow field (see
+    :func:`farneback_traffic_breakdown` for the per-stage decomposition)."""
+    return farneback_traffic_breakdown(
+        H, W, levels=levels, pyr_scale=pyr_scale, iterations=iterations,
+        clip_frames=clip_frames)["total"]
 
 
 def farneback_clip(frames: jax.Array, **kwargs) -> jax.Array:

@@ -88,9 +88,9 @@ def _planes_mode() -> bool:
 def _share_mode(height: int, width: int) -> str:
     """Share every level below the measured gate; above it the composed
     all-levels program hits the coarse-level R0-slice fusion blowup, so only
-    the finest level's expansion is carried (classical/farneback.py)."""
-    return ("all" if height * width <= _fb.CLIP_SHARE_ALL_MAX_PIXELS
-            else "finest")
+    the finest level's expansion is carried (classical/farneback.py owns the
+    gate expression)."""
+    return _fb.share_mode(height, width)
 
 
 @functools.partial(jax.jit, static_argnames=("fb_kwargs", "share"))

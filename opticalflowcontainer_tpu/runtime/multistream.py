@@ -255,16 +255,21 @@ def make_stateful_batched_fused_farneback(n_streams: int,
     stream_seeded[n_streams] = True  # scratch slot: never re-seed
 
     share = None
+    res = None
 
     def backend(prev, cur, idxs, dropped=None):
-        nonlocal state, share
-        if share is None:
-            # the all-levels planes state regresses above the measured gate
-            # (coarse-level R0-slice fusion blowup, classical/farneback.py);
-            # large frames carry (gray, finest planes) instead — the finest
-            # level is most of the expansion traffic
-            share = ("all" if cur.shape[-2] * cur.shape[-1]
-                     <= fb.CLIP_SHARE_ALL_MAX_PIXELS else "finest")
+        nonlocal state, share, res
+        if state is None:
+            # the share gate is (re)evaluated whenever the state is (re)built
+            # — a resolution change mid-lifetime must re-gate, not reuse a
+            # stale mode against mismatched state shapes (ADVICE r3)
+            share = fb.share_mode(cur.shape[-2], cur.shape[-1])
+            res = cur.shape[-2:]
+        elif cur.shape[-2:] != res:
+            raise ValueError(
+                f"stateful backend was built for {res[0]}x{res[1]} frames, "
+                f"got {cur.shape[-2]}x{cur.shape[-1]}; streams sharing a "
+                f"backend must share a resolution (one compile, one state)")
         n = cur.shape[0]
         idx = np.full(R, n_streams, np.int32)
         idx[:n] = np.asarray(idxs, np.int32)
