@@ -65,6 +65,7 @@ class MultiStreamFlow:
         pixel_to_meter: float = 0.000566,
         name: str = "STREAM",
         aggregate: str = "mean",
+        pipeline_depth: int = 1,
     ):
         self.bus = bus
         self.backend = batched_backend
@@ -77,6 +78,14 @@ class MultiStreamFlow:
         self._thread: threading.Thread | None = None
         self.batches = 0
         self.fields = 0
+        # pipeline_depth=1 (fused backends only): dispatch batch n+1 before
+        # syncing batch n's scalars, so the host-sync RTT (~50-90 ms through
+        # the axon tunnel — longer than a 60 fps batch period) overlaps the
+        # next batch's device work instead of serializing with it.  JAX
+        # dispatch is async; the publish of batch n is delayed by one batch
+        # but throughput stops being 1/(RTT + device).  Depth > 1 buys
+        # nothing (the sync is the bottleneck, not dispatch).
+        self.pipeline_depth = int(pipeline_depth)
 
     def push_frame(self, stream: int, frame: np.ndarray, stamp: float):
         from .nodes import _bgr_to_gray_np
@@ -98,13 +107,41 @@ class MultiStreamFlow:
         if self._thread:
             self._thread.join(timeout=5.0)
 
+    def _publish(self, ready, out):
+        out = np.asarray(out)  # the host sync (device scalars/fields -> np)
+        fused = getattr(self.backend, "returns_displacement", False)
+        self.batches += 1
+        self.fields += len(ready)
+        for k, (i, (_, _, t0, t1), _) in enumerate(ready):
+            dt = t1 - t0
+            if fused:
+                # device-aggregated [N] pixel displacements — only N
+                # scalars crossed the host boundary for this batch
+                vx, vx_s = self.vels[i].update_from_displacement(
+                    float(out[k]), dt
+                )
+            else:
+                vx, vx_s, _ = self.vels[i].update(out[k], dt)
+            self.bus.publish(
+                f"/optical_flow/{self.name}{i}_velocity",
+                Vector3StampedMsg(Header(t1), vx),
+            )
+            self.bus.publish(
+                f"/optical_flow/{self.name}{i}_smooth_velocity",
+                Vector3StampedMsg(Header(t1), vx_s),
+            )
+
     def _run(self):
+        pending = None  # (ready, device_out): dispatched, not yet synced
         while not self._stop.is_set():
             ready = [(i, p, d) for i, (p, d) in
                      ((i, t) for i, t in
                       ((i, s.take()) for i, s in enumerate(self.slots))
                       if t is not None)]
             if not ready:
+                if pending is not None:
+                    self._publish(*pending)
+                    pending = None
                 time.sleep(0.001)
                 continue
             idxs = [i for i, _, _ in ready]
@@ -113,29 +150,21 @@ class MultiStreamFlow:
             dropped = [d for _, _, d in ready]
             fused = getattr(self.backend, "returns_displacement", False)
             if getattr(self.backend, "stateful", False):
-                out = np.asarray(self.backend(prev, cur, idxs, dropped))
+                out = self.backend(prev, cur, idxs, dropped)
             else:
-                out = np.asarray(self.backend(prev, cur))
-            self.batches += 1
-            self.fields += len(idxs)
-            for k, (i, (_, _, t0, t1), _) in enumerate(ready):
-                dt = t1 - t0
-                if fused:
-                    # device-aggregated [N] pixel displacements — only N
-                    # scalars crossed the host boundary for this batch
-                    vx, vx_s = self.vels[i].update_from_displacement(
-                        float(out[k]), dt
-                    )
-                else:
-                    vx, vx_s, _ = self.vels[i].update(out[k], dt)
-                self.bus.publish(
-                    f"/optical_flow/{self.name}{i}_velocity",
-                    Vector3StampedMsg(Header(t1), vx),
-                )
-                self.bus.publish(
-                    f"/optical_flow/{self.name}{i}_smooth_velocity",
-                    Vector3StampedMsg(Header(t1), vx_s),
-                )
+                out = self.backend(prev, cur)
+            if fused and self.pipeline_depth > 0:
+                # sync the PREVIOUS batch only after this one is dispatched:
+                # the ~50-90 ms tunnel sync overlaps this batch's device work
+                # (JAX dispatch is async), so steady-state throughput is
+                # 1/max(RTT, device) instead of 1/(RTT + device)
+                prev_pending, pending = pending, (ready, out)
+                if prev_pending is not None:
+                    self._publish(*prev_pending)
+            else:
+                self._publish(ready, out)
+        if pending is not None:
+            self._publish(*pending)
 
 
 def make_batched_farneback(n_streams: int, **kwargs):
@@ -187,7 +216,8 @@ def make_batched_fused_farneback(n_streams: int, aggregate: str = "mean",
             pad = np.repeat(prev[-1:], n_streams - n, axis=0)
             prev = np.concatenate([prev, pad])
             cur = np.concatenate([cur, np.repeat(cur[-1:], n_streams - n, axis=0)])
-        return np.asarray(fn(prev, cur))[:n]
+        # device array out (unsynced): MultiStreamFlow pipelines the sync
+        return fn(prev, cur)[:n]
 
     backend.returns_displacement = True
 
@@ -295,7 +325,8 @@ def make_stateful_batched_fused_farneback(n_streams: int,
             stream_seeded[idx[:n]] = True
         else:
             state, du = steady(state, jnp.asarray(cur_p), idx, share)
-        return np.asarray(du)[:n]
+        # device array out (unsynced): MultiStreamFlow pipelines the sync
+        return du[:n]
 
     backend.returns_displacement = True
     backend.stateful = True
