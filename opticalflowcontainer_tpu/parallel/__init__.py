@@ -16,7 +16,11 @@ pjit-sharded supervised training step (sequence EPE loss).
 """
 from .mesh import make_mesh, batch_sharding, replicated
 from .train import make_train_state, train_step, make_sharded_train_step
-from .infer import make_sharded_flow_fn, make_spatial_sharded_flow_fn
+from .infer import (
+    make_sharded_flow_fn,
+    make_sharded_stream_fn,
+    make_spatial_sharded_flow_fn,
+)
 
 __all__ = [
     "make_mesh",
@@ -26,5 +30,6 @@ __all__ = [
     "train_step",
     "make_sharded_train_step",
     "make_sharded_flow_fn",
+    "make_sharded_stream_fn",
     "make_spatial_sharded_flow_fn",
 ]

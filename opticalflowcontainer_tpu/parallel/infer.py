@@ -43,6 +43,38 @@ def make_sharded_flow_fn(flow_fn: Callable, mesh: Mesh):
     return jax.jit(shmapped)
 
 
+def make_sharded_stream_fn(mesh: Mesh, share: str = "all", **fb_kwargs):
+    """Multi-STREAM scale-out: N camera streams sharded on the mesh 'data'
+    axis, each chip running the stateful Farneback stream step
+    (classical.farneback.farneback_stream_step — every frame's expansion
+    computed once, planes carried as device state) on its local streams.
+    State leaves and frames are [N, ...] sharded on their leading dim; no
+    communication on the hot path (per-stream scalars stay local to their
+    chip).  This is the sharded twin of
+    runtime.multistream.make_stateful_batched_fused_farneback's steady
+    program — the DP row of SURVEY §2.3 applied to live streams.
+
+    Returns a jitted ``(state, gray [N, H, W]) -> (du [N], state2)``.
+    Seed the state with ``farneback_stream_planes`` on the [N, H, W] gray
+    stack (sharded the same way)."""
+    from ..classical import farneback as fb
+
+    def local(state, gray):
+        flow, state2 = fb.farneback_stream_step(state, gray, share=share,
+                                                **fb_kwargs)
+        return jnp.mean(flow[..., 0], axis=(1, 2)), state2
+
+    shmapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data")),
+        # same pallas_call caveat as make_sharded_flow_fn
+        check_vma=False,
+    )
+    return jax.jit(shmapped)
+
+
 def make_spatial_sharded_flow_fn(flow_fn: Callable, mesh: Mesh):
     """Big-frame variant: batch on 'data' AND image height on 'model' using
     jit sharding constraints (XLA SPMD inserts the conv/warp halo exchanges,
