@@ -32,6 +32,16 @@ import jax.numpy as jnp
 # Matrices at or below this many elements stay plain literals: the compressed
 # form only pays off once the dense literal dominates the serialized HLO.
 _EMBED_THRESHOLD_ELEMS = 256 * 1024
+# Maximum band width for the compressed form.  The on-device expansion is a
+# ``bw``-pass where-add chain over the full [R, n_cols] matrix; XLA folds or
+# fuses it for narrow bands, but for the wide-band coarse-pyramid operators
+# (720p k3: bw=100) the chain sometimes survives into the executed program
+# as ~100 sequential full-matrix passes — measured 24.8 ms/field vs 0.025
+# with a literal (1000x, round-4 stage-roofline bisect; the same pathology
+# caused round-2's "+52 ms/field from the 1080p coarsest level" share-gate
+# workaround).  Wide bands go literal: those matrices are small (coarse
+# levels), so the HLO growth is bounded (~3-7 MB each).
+_BANDED_MAX_BW = 48
 
 
 def _compress_banded(M: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
@@ -83,7 +93,7 @@ def as_operator(M: np.ndarray) -> jax.Array:
     if M.ndim != 2 or M.size <= _EMBED_THRESHOLD_ELEMS:
         return jnp.asarray(M)
     packed = _compress_banded(M)
-    if packed is None:
+    if packed is None or packed[1].shape[1] > _BANDED_MAX_BW:
         return jnp.asarray(M)
     starts, band = packed
     return materialize_banded(jnp.asarray(starts), jnp.asarray(band), M.shape[1])

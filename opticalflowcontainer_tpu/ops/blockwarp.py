@@ -102,6 +102,45 @@ def _block_bases(u, v, block, slack, pad, Hp, Wp, phases=1):
     return y0, x0
 
 
+def _block_fastq(u, v, y0, x0, block, slack, pad):
+    """Per-block fast-path descriptor for the 9-tap selection tier, packed
+    into one int32 [B, nby, nbx]: ``fast << 16 | qyc << 8 | qxc``.
+
+    Computes each pixel's selection indices (qy, qx) EXACTLY as the kernel
+    does (same clips, relative to the same unquantized origins) and flags
+    blocks whose indices span <= 1 in both axes — translation/slow-pan
+    content, where bilinear needs only the 3x3 tap window starting at
+    (qyc, qxc) = (min qy, min qx).  The kernel folds (qyc, qxc) into its
+    realign offsets and runs 9 selection FMAs instead of (2*slack+2)^2 = 36;
+    the skipped taps have exactly-zero weights, so fast-path results are
+    BIT-IDENTICAL to the full path (adding 0.0-weighted products of finite
+    values is an exact no-op)."""
+    bh, bw = block
+    pad_y, pad_x = (pad, pad) if isinstance(pad, int) else pad
+    B, H, W = u.shape
+    nby, nbx = H // bh, W // bw
+    win_h = bh + 2 * slack + 1
+    win_w = bw + 2 * slack + 1
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    yf = jnp.floor(ys.astype(jnp.float32) + pad_y + v).astype(jnp.int32)
+    xf = jnp.floor(xs.astype(jnp.float32) + pad_x + u).astype(jnp.int32)
+    y0p = jnp.repeat(jnp.repeat(y0, bh, axis=1), bw, axis=2)
+    x0p = jnp.repeat(jnp.repeat(x0, bh, axis=1), bw, axis=2)
+    ry = jnp.clip(yf - y0p, 0, win_h - 2)
+    rx = jnp.clip(xf - x0p, 0, win_w - 2)
+    qy = jnp.clip(ry - ys % bh, 0, 2 * slack)
+    qx = jnp.clip(rx - xs % bw, 0, 2 * slack)
+
+    def mm(q, red):
+        return red(q.reshape(B, nby, bh, nbx, bw), axis=(2, 4))
+
+    qy_min, qy_max = mm(qy, jnp.min), mm(qy, jnp.max)
+    qx_min, qx_max = mm(qx, jnp.min), mm(qx, jnp.max)
+    fast = ((qy_max - qy_min <= 1) & (qx_max - qx_min <= 1)).astype(jnp.int32)
+    return (fast << 16) | (qy_min << 8) | qx_min
+
+
 def start_prefetch_pipeline(copy_for, n, nbx, nby, nb_total):
     """Double-buffered DMA pipeline steps shared by every block kernel here
     and in ops/solve2x2: start block 0's own copy at grid step 0 and block
@@ -149,13 +188,22 @@ def _roll_lanes(f, shift, use_pltpu):
     return jax.lax.dynamic_slice_in_dim(d, shift, L, axis=f.ndim - 1)
 
 
-def _warp_block_core(x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem,
+def _warp_block_core(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch,
+                     sem, acc_scr,
                      *, bh, bw, ph, pw, slack, pad_y, pad_x, nby, nbx,
                      nb_total, realign, interpret, phases, select="slice",
                      r1_off=0):
     """Shared kernel body: patch DMA pipeline + realign + bilinear selection.
     Returns (acc, u, v, xf, yf, il, jl, i, j) so epilogue variants can fuse
-    further per-pixel math without a second pass over HBM."""
+    further per-pixel math without a second pass over HBM.
+
+    ``fq_ref`` carries the per-block fast-path descriptor (_block_fastq):
+    blocks whose per-pixel selection indices span <= 1 in both axes fold
+    (qyc, qxc) into the realign offsets and run a 9-tap selection instead of
+    the full (2*slack+2)^2 sweep — bit-identical (the skipped taps have
+    exactly-zero weights), ~4x less VPU work on translation-dominant video
+    (the reference's conveyor/camera regime, reference lfn3_node.py:29-31).
+    The selection is branched with pl.when through ``acc_scr``."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -214,25 +262,24 @@ def _warp_block_core(x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem,
     qy = jnp.clip(ry - il, 0, 2 * slack)
 
     nsel = 2 * slack + 2
-    wxs = [
-        jnp.where(qx == t, 1.0 - wx, 0.0) + jnp.where(qx + 1 == t, wx, 0.0)
-        for t in range(nsel)
-    ]
-    wys = [
-        jnp.where(qy == t, 1.0 - wy, 0.0) + jnp.where(qy + 1 == t, wy, 0.0)
-        for t in range(nsel)
-    ]
+    fq = fq_ref[b, i, j]
+    fastv = fq >> 16
+    qyc = (fq >> 8) & 255
+    qxc = fq & 255
 
     copy_for(b, i, j, slot).wait()
-    # Realign the tile-quantized patch so that p[c, r, l] = src[y0+r, x0+l].
+    # Realign the tile-quantized patch so that p[c, r, l] = src[y0+r, x0+l]
+    # (fast-path blocks fold their selection base (qyc, qxc) in, so
+    # p[c, r, l] = src[y0+qyc+r, x0+qxc+l] there).
     # Sublanes: {0,1} permutation matmul (exact: bf16 operands, fp32
     # accumulation).  Lanes: one dynamic rotate ('roll') or a second
     # permutation matmul ('matmul'); bf16 has no pltpu.roll lowering, so the
     # rotate runs on the f32 result of the sublane matmul.
     p = patch[slot]
     C = p.shape[0]
-    yrem = y0 - y0q
-    xrem = jax.lax.rem(x0, qx_unit)  # offset of x0 within its phase copy
+    yrem = y0 - y0q + jnp.where(fastv == 1, qyc, 0)
+    xrem = (jax.lax.rem(x0, qx_unit)  # offset of x0 within its phase copy
+            + jnp.where(fastv == 1, qxc, 0))
     r_ = jax.lax.broadcasted_iota(jnp.int32, (rh, ph), 0)
     s_ = jax.lax.broadcasted_iota(jnp.int32, (rh, ph), 1)
     Ty = ((r_ + yrem) % ph == s_).astype(jnp.bfloat16)
@@ -273,43 +320,74 @@ def _warp_block_core(x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem,
             # permutation is exactly representable in bf16 for permute_x
             p = split3_bf16(p.astype(jnp.float32),
                             lambda q: permute_x(permute_y(q)))
-    acc = jnp.zeros((C, bh, bw), jnp.float32)
-    if select == "roll":
-        # Lane-aligned selection: one static lane rotate per column tap t,
-        # then every FMA slices at lane offset 0 (only sublane offsets
-        # remain).  The 2D form below slices at lane offsets 1..2*slack+1,
-        # and every non-128-aligned lane slice relayouts (the solve2x2
-        # lesson); here the rotate is paid once per t instead of once per
-        # (a, t).
-        for t in range(nsel):
-            pt = p if t == 0 else _roll_lanes(p, t, use_pltpu=not interpret)
-            s = jnp.zeros((C, bh, bw), jnp.float32)
-            for a in range(nsel):
-                s = s + wys[a][None] * pt[:, a : a + bh, :bw].astype(jnp.float32)
-            acc = acc + wxs[t][None] * s
+    def select_taps(qy_, qx_, ntap):
+        """Tap sweep over an ``ntap`` x ``ntap`` window with per-pixel
+        one-hot-interpolation weights built from (qy_, qx_)."""
+        wxs = [
+            jnp.where(qx_ == t, 1.0 - wx, 0.0) + jnp.where(qx_ + 1 == t, wx, 0.0)
+            for t in range(ntap)
+        ]
+        wys = [
+            jnp.where(qy_ == t, 1.0 - wy, 0.0) + jnp.where(qy_ + 1 == t, wy, 0.0)
+            for t in range(ntap)
+        ]
+        acc = jnp.zeros((C, bh, bw), jnp.float32)
+        if select == "roll":
+            # Lane-aligned selection: one static lane rotate per column tap
+            # t, then every FMA slices at lane offset 0 (only sublane
+            # offsets remain).  The 2D form below slices at lane offsets
+            # 1..2*slack+1, and every non-128-aligned lane slice relayouts
+            # (the solve2x2 lesson); here the rotate is paid once per t
+            # instead of once per (a, t).
+            for t in range(ntap):
+                pt = p if t == 0 else _roll_lanes(p, t, use_pltpu=not interpret)
+                s = jnp.zeros((C, bh, bw), jnp.float32)
+                for a in range(ntap):
+                    s = s + wys[a][None] * pt[:, a : a + bh, :bw].astype(jnp.float32)
+                acc = acc + wxs[t][None] * s
+        else:
+            for a in range(ntap):
+                for t in range(ntap):
+                    w = (wys[a] * wxs[t])[None]
+                    acc = acc + w * p[:, a : a + bh, t : t + bw].astype(jnp.float32)
+        return acc
+
+    if slack >= 1:
+        # branched selection: the 3x3 fast tier covers blocks whose
+        # selection indices span <= 1 (prepass flag); results are
+        # bit-identical to the full sweep (skipped taps weigh exactly 0.0)
+        @pl.when(fastv == 1)
+        def _fast():
+            acc_scr[...] = select_taps(qy - qyc, qx - qxc, 3)
+
+        @pl.when(fastv == 0)
+        def _slow():
+            acc_scr[...] = select_taps(qy, qx, nsel)
+
+        acc = acc_scr[...]
     else:
-        for a in range(nsel):
-            for t in range(nsel):
-                w = (wys[a] * wxs[t])[None]
-                acc = acc + w * p[:, a : a + bh, t : t + bw].astype(jnp.float32)
+        acc = select_taps(qy, qx, nsel)
     return acc, u, v, xf, yf, il, jl, i, j
 
 
-def _kernel(x0_ref, y0_ref, src_ref, u_ref, v_ref, out_ref, patch, sem, **kw):
-    acc = _warp_block_core(x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem,
-                           **kw)[0]
+def _kernel(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, out_ref, patch,
+            sem, acc_scr, **kw):
+    acc = _warp_block_core(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref,
+                           patch, sem, acc_scr, **kw)[0]
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _kernel_farneback_update(x0_ref, y0_ref, src_ref, u_ref, v_ref, r0_ref,
-                             out_ref, patch, sem, *, img_h, img_w, ramp, **kw):
+def _kernel_farneback_update(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref,
+                             r0_ref, out_ref, patch, sem, acc_scr,
+                             *, img_h, img_w, ramp, **kw):
     """Fused Farneback update: warp frame-1's expansion planes AND accumulate
     the per-pixel normal equations in one pass — the warped planes never
     round-trip through HBM.  Epilogue mirrors
     classical/farneback.py:_update_matrices_planes exactly (same channel
     order bx, by, axx, ayy, qxy in; G00, G01, G11, h1, h2 out)."""
     acc, u, v, xf, yf, il, jl, i, j = _warp_block_core(
-        x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem, **kw)
+        x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch, sem, acc_scr,
+        **kw)
     pad_y, pad_x, bh, bw = kw["pad_y"], kw["pad_x"], kw["bh"], kw["bw"]
     R0v = r0_ref[0].astype(jnp.float32)  # [5, bh, bw]
     _farneback_epilogue(acc, u, v, xf, yf, il, jl, i, j, R0v, out_ref,
@@ -317,8 +395,9 @@ def _kernel_farneback_update(x0_ref, y0_ref, src_ref, u_ref, v_ref, r0_ref,
                         pad_y=pad_y, pad_x=pad_x, bh=bh, bw=bw)
 
 
-def _kernel_farneback_update_r0src(x0_ref, y0_ref, src_ref, u_ref, v_ref,
-                                   out_ref, patch, sem, r0_scr, r0_sem,
+def _kernel_farneback_update_r0src(x0_ref, y0_ref, fq_ref, src_ref, u_ref,
+                                   v_ref, out_ref, patch, sem, acc_scr,
+                                   r0_scr, r0_sem,
                                    *, img_h, img_w, ramp, **kw):
     """Fused update with R0 read STRAIGHT from the shared padded planes:
     clip/stream mode keeps every frame's expansion once (phase-stacked); the
@@ -350,7 +429,8 @@ def _kernel_farneback_update_r0src(x0_ref, y0_ref, src_ref, u_ref, v_ref,
     start_prefetch_pipeline(r0_copy_for, n, nbx, nby, nb_total)
 
     acc, u, v, xf, yf, il, jl, i, j = _warp_block_core(
-        x0_ref, y0_ref, src_ref, u_ref, v_ref, patch, sem, **kw)
+        x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch, sem, acc_scr,
+        **kw)
     r0_copy_for(b, i, j, slot).wait()
     R0v = r0_scr[slot].astype(jnp.float32)
     _farneback_epilogue(acc, u, v, xf, yf, il, jl, i, j, R0v, out_ref,
@@ -445,6 +525,7 @@ def block_warp_bilinear(
     assert (bh % 8 == 0 or bh == H) and (bw % 128 == 0 or bw == W), (block, H, W)
     nby, nbx = H // bh, W // bw
     y0, x0 = _block_bases(u, v, block, slack, pad, Hp, Wp, phases)
+    fq = _block_fastq(u, v, y0, x0, (bh, bw), slack, (pad_y, pad_x))
     cdtype = compute_dtype or src.dtype
     src = src.astype(cdtype)
     if phases == 1:
@@ -457,19 +538,20 @@ def block_warp_bilinear(
         srcs = jnp.stack([src, jnp.roll(src, -64, axis=-1)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, nby, nbx),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0: (b, i, j)),
-            pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0: (b, i, j)),
+            pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0, fq: (b, i, j)),
+            pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0, fq: (b, i, j)),
         ],
         out_specs=pl.BlockSpec(
-            (1, C, bh, bw), lambda b, i, j, x0, y0: (b, 0, i, j)
+            (1, C, bh, bw), lambda b, i, j, x0, y0, fq: (b, 0, i, j)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, C, ph, pw), cdtype),  # double-buffered patch slots
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((C, bh, bw), jnp.float32),  # branched-selection acc
         ],
     )
     kernel = functools.partial(
@@ -483,7 +565,7 @@ def block_warp_bilinear(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, H, W), jnp.float32),
         interpret=interpret,
-    )(x0, y0, srcs, u, v)
+    )(x0, y0, fq, srcs, u, v)
 
 
 @functools.partial(
@@ -563,6 +645,7 @@ def block_warp_farneback_update(
     assert ph <= Hp and pw <= Wp, ("image too small", (ph, pw), (Hp, Wp))
     nby, nbx = H // bh, W // bw
     y0, x0 = _block_bases(u, v, block, slack, pad, Hp, Wp, phases)
+    fq = _block_fastq(u, v, y0, x0, (bh, bw), slack, (pad_y, pad_x))
     cdtype = compute_dtype or r1_padded.dtype
     if not src_prestacked:
         src = r1_padded.astype(cdtype)
@@ -574,12 +657,13 @@ def block_warp_farneback_update(
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),
-        pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0: (b, i, j)),
-        pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0: (b, i, j)),
+        pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0, fq: (b, i, j)),
+        pl.BlockSpec((1, bh, bw), lambda b, i, j, x0, y0, fq: (b, i, j)),
     ]
     scratch = [
         pltpu.VMEM((2, C, ph, pw), cdtype),
         pltpu.SemaphoreType.DMA((2,)),
+        pltpu.VMEM((C, bh, bw), jnp.float32),  # branched-selection acc
     ]
     common = dict(
         img_h=img_hw[0], img_w=img_hw[1],
@@ -594,19 +678,20 @@ def block_warp_farneback_update(
         kernel = functools.partial(_kernel_farneback_update_r0src, **common)
         scratch += [pltpu.VMEM((2, C, bh, bw), cdtype),
                     pltpu.SemaphoreType.DMA((2,))]
-        operands = (x0, y0, srcs, u, v)
+        operands = (x0, y0, fq, srcs, u, v)
     else:
         kernel = functools.partial(_kernel_farneback_update, **common)
         in_specs.append(
-            pl.BlockSpec((1, C, bh, bw), lambda b, i, j, x0, y0: (b, 0, i, j)))
-        operands = (x0, y0, srcs, u, v, r0)
+            pl.BlockSpec((1, C, bh, bw),
+                         lambda b, i, j, x0, y0, fq: (b, 0, i, j)))
+        operands = (x0, y0, fq, srcs, u, v, r0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, nby, nbx),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, C, bh, bw), lambda b, i, j, x0, y0: (b, 0, i, j)
+            (1, C, bh, bw), lambda b, i, j, x0, y0, fq: (b, 0, i, j)
         ),
         scratch_shapes=scratch,
     )
