@@ -81,8 +81,13 @@ BLOCK_WARP_PAD = (40, 192)  # (pad_y, pad_x): room for the tile-aligned patch + 
 BLOCK_WARP_DTYPE = jnp.bfloat16  # patch DMA dtype; accumulation stays fp32
 # clip/stream shared-expansion gate: frames with <= this many pixels share
 # the padded planes at EVERY pyramid level; larger frames share only the
-# finest level (per-resolution measurements in _blockwarp_flow's comment)
-CLIP_SHARE_ALL_MAX_PIXELS = 1_500_000
+# finest level.  The r2 1080p share-all blowup (+52 ms/field from the
+# coarsest level) was the wide-band banded-operator expansion pathology,
+# fixed in core/banded.py (_BANDED_MAX_BW) — post-fix interleaved A/B at
+# 1080p T=5 (2026-08-19): share-all 6.71/7.07 vs finest 7.09/7.40 ms/field,
+# so the gate now sits above 1080p (2.07 Mpx); the finest fallback remains
+# for larger frames (e.g. the 4096x1200 offline stills), untested there.
+CLIP_SHARE_ALL_MAX_PIXELS = 2_200_000
 
 
 def share_mode(height: int, width: int) -> str:

@@ -26,5 +26,7 @@ from .liteflownet import LiteFlowNet
 from .liteflownet3 import LiteFlowNet3
 from .raft import RAFT, RAFTSmall
 from .neuflow import NeuFlowLite
+from .neuflow_v2 import NeuFlowV2
 
-__all__ = ["PWCNet", "LiteFlowNet", "LiteFlowNet3", "RAFT", "RAFTSmall", "NeuFlowLite"]
+__all__ = ["PWCNet", "LiteFlowNet", "LiteFlowNet3", "RAFT", "RAFTSmall",
+           "NeuFlowLite", "NeuFlowV2"]

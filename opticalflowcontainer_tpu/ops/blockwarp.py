@@ -119,26 +119,30 @@ def _block_fastq(u, v, y0, x0, block, slack, pad):
     pad_y, pad_x = (pad, pad) if isinstance(pad, int) else pad
     B, H, W = u.shape
     nby, nbx = H // bh, W // bw
-    win_h = bh + 2 * slack + 1
-    win_w = bw + 2 * slack + 1
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    yf = jnp.floor(ys.astype(jnp.float32) + pad_y + v).astype(jnp.int32)
-    xf = jnp.floor(xs.astype(jnp.float32) + pad_x + u).astype(jnp.int32)
-    y0p = jnp.repeat(jnp.repeat(y0, bh, axis=1), bw, axis=2)
-    x0p = jnp.repeat(jnp.repeat(x0, bh, axis=1), bw, axis=2)
-    ry = jnp.clip(yf - y0p, 0, win_h - 2)
-    rx = jnp.clip(xf - x0p, 0, win_w - 2)
-    qy = jnp.clip(ry - ys % bh, 0, 2 * slack)
-    qx = jnp.clip(rx - xs % bw, 0, 2 * slack)
 
-    def mm(q, red):
-        return red(q.reshape(B, nby, bh, nbx, bw), axis=(2, 4))
-
-    qy_min, qy_max = mm(qy, jnp.min), mm(qy, jnp.max)
-    qx_min, qx_max = mm(qx, jnp.min), mm(qx, jnp.max)
-    fast = ((qy_max - qy_min <= 1) & (qx_max - qx_min <= 1)).astype(jnp.int32)
-    return (fast << 16) | (qy_min << 8) | qx_min
+    # Cheap closed form: pixel coordinates are integers, so the kernel's
+    # selection index (absent clip binding) is qx = floor(u) + ox with
+    # ox = (j*bw + pad_x - x0) a per-block scalar (and symmetrically for y).
+    # The prepass therefore only needs per-block min/max of floor(u)/floor(v)
+    # — two cheap reduces XLA fuses with the _block_bases mean reduce — and
+    # the fast flag additionally requires the whole index range inside
+    # [0, 2*slack] so NO kernel clip binds (clipped pixels would break the
+    # constant-offset identity; they take the full-sweep tier).
+    fu = jnp.floor(u).astype(jnp.int32).reshape(B, nby, bh, nbx, bw)
+    fv = jnp.floor(v).astype(jnp.int32).reshape(B, nby, bh, nbx, bw)
+    fx_min, fx_max = fu.min(axis=(2, 4)), fu.max(axis=(2, 4))
+    fy_min, fy_max = fv.min(axis=(2, 4)), fv.max(axis=(2, 4))
+    gy = (jnp.arange(nby, dtype=jnp.int32) * bh)[None, :, None]
+    gx = (jnp.arange(nbx, dtype=jnp.int32) * bw)[None, None, :]
+    oy = gy + pad_y - y0
+    ox = gx + pad_x - x0
+    qy_min, qy_max = fy_min + oy, fy_max + oy
+    qx_min, qx_max = fx_min + ox, fx_max + ox
+    fast = ((qy_max - qy_min <= 1) & (qx_max - qx_min <= 1)
+            & (qy_min >= 0) & (qy_max <= 2 * slack)
+            & (qx_min >= 0) & (qx_max <= 2 * slack)).astype(jnp.int32)
+    return (fast << 16) | (jnp.clip(qy_min, 0, 2 * slack) << 8) \
+        | jnp.clip(qx_min, 0, 2 * slack)
 
 
 def start_prefetch_pipeline(copy_for, n, nbx, nby, nb_total):
@@ -189,21 +193,24 @@ def _roll_lanes(f, shift, use_pltpu):
 
 
 def _warp_block_core(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch,
-                     sem, acc_scr,
+                     sem, emit,
                      *, bh, bw, ph, pw, slack, pad_y, pad_x, nby, nbx,
                      nb_total, realign, interpret, phases, select="slice",
                      r1_off=0):
     """Shared kernel body: patch DMA pipeline + realign + bilinear selection.
-    Returns (acc, u, v, xf, yf, il, jl, i, j) so epilogue variants can fuse
-    further per-pixel math without a second pass over HBM.
+    Calls ``emit(acc, u, v, xf, yf, il, jl, i, j)`` with the selected warp
+    accumulator so epilogue variants fuse their per-pixel math and the
+    out_ref write WITHOUT a second pass over VMEM/HBM.
 
     ``fq_ref`` carries the per-block fast-path descriptor (_block_fastq):
     blocks whose per-pixel selection indices span <= 1 in both axes fold
     (qyc, qxc) into the realign offsets and run a 9-tap selection instead of
     the full (2*slack+2)^2 sweep — bit-identical (the skipped taps have
-    exactly-zero weights), ~4x less VPU work on translation-dominant video
-    (the reference's conveyor/camera regime, reference lfn3_node.py:29-31).
-    The selection is branched with pl.when through ``acc_scr``."""
+    exactly-zero weights), ~4x less selection work on translation-dominant
+    video (the reference's conveyor/camera regime, lfn3_node.py:29-31).
+    The whole selection+epilogue is branched with pl.when (``emit`` runs
+    inside each branch — an accumulator scratch handoff instead measured
+    +20% on the full-sweep tier from the extra VMEM round-trip)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -358,45 +365,47 @@ def _warp_block_core(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch,
         # bit-identical to the full sweep (skipped taps weigh exactly 0.0)
         @pl.when(fastv == 1)
         def _fast():
-            acc_scr[...] = select_taps(qy - qyc, qx - qxc, 3)
+            emit(select_taps(qy - qyc, qx - qxc, 3),
+                 u, v, xf, yf, il, jl, i, j)
 
         @pl.when(fastv == 0)
         def _slow():
-            acc_scr[...] = select_taps(qy, qx, nsel)
-
-        acc = acc_scr[...]
+            emit(select_taps(qy, qx, nsel), u, v, xf, yf, il, jl, i, j)
     else:
-        acc = select_taps(qy, qx, nsel)
-    return acc, u, v, xf, yf, il, jl, i, j
+        emit(select_taps(qy, qx, nsel), u, v, xf, yf, il, jl, i, j)
 
 
 def _kernel(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, out_ref, patch,
-            sem, acc_scr, **kw):
-    acc = _warp_block_core(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref,
-                           patch, sem, acc_scr, **kw)[0]
-    out_ref[0] = acc.astype(out_ref.dtype)
+            sem, **kw):
+    def emit(acc, *_):
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+    _warp_block_core(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref,
+                     patch, sem, emit, **kw)
 
 
 def _kernel_farneback_update(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref,
-                             r0_ref, out_ref, patch, sem, acc_scr,
+                             r0_ref, out_ref, patch, sem,
                              *, img_h, img_w, ramp, **kw):
     """Fused Farneback update: warp frame-1's expansion planes AND accumulate
     the per-pixel normal equations in one pass — the warped planes never
     round-trip through HBM.  Epilogue mirrors
     classical/farneback.py:_update_matrices_planes exactly (same channel
     order bx, by, axx, ayy, qxy in; G00, G01, G11, h1, h2 out)."""
-    acc, u, v, xf, yf, il, jl, i, j = _warp_block_core(
-        x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch, sem, acc_scr,
-        **kw)
     pad_y, pad_x, bh, bw = kw["pad_y"], kw["pad_x"], kw["bh"], kw["bw"]
-    R0v = r0_ref[0].astype(jnp.float32)  # [5, bh, bw]
-    _farneback_epilogue(acc, u, v, xf, yf, il, jl, i, j, R0v, out_ref,
-                        img_h=img_h, img_w=img_w, ramp=ramp,
-                        pad_y=pad_y, pad_x=pad_x, bh=bh, bw=bw)
+
+    def emit(acc, u, v, xf, yf, il, jl, i, j):
+        R0v = r0_ref[0].astype(jnp.float32)  # [5, bh, bw]
+        _farneback_epilogue(acc, u, v, xf, yf, il, jl, i, j, R0v, out_ref,
+                            img_h=img_h, img_w=img_w, ramp=ramp,
+                            pad_y=pad_y, pad_x=pad_x, bh=bh, bw=bw)
+
+    _warp_block_core(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch,
+                     sem, emit, **kw)
 
 
 def _kernel_farneback_update_r0src(x0_ref, y0_ref, fq_ref, src_ref, u_ref,
-                                   v_ref, out_ref, patch, sem, acc_scr,
+                                   v_ref, out_ref, patch, sem,
                                    r0_scr, r0_sem,
                                    *, img_h, img_w, ramp, **kw):
     """Fused update with R0 read STRAIGHT from the shared padded planes:
@@ -428,14 +437,15 @@ def _kernel_farneback_update_r0src(x0_ref, y0_ref, fq_ref, src_ref, u_ref,
 
     start_prefetch_pipeline(r0_copy_for, n, nbx, nby, nb_total)
 
-    acc, u, v, xf, yf, il, jl, i, j = _warp_block_core(
-        x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch, sem, acc_scr,
-        **kw)
-    r0_copy_for(b, i, j, slot).wait()
-    R0v = r0_scr[slot].astype(jnp.float32)
-    _farneback_epilogue(acc, u, v, xf, yf, il, jl, i, j, R0v, out_ref,
-                        img_h=img_h, img_w=img_w, ramp=ramp,
-                        pad_y=pad_y, pad_x=pad_x, bh=bh, bw=bw)
+    def emit(acc, u, v, xf, yf, il, jl, i, j):
+        r0_copy_for(b, i, j, slot).wait()
+        R0v = r0_scr[slot].astype(jnp.float32)
+        _farneback_epilogue(acc, u, v, xf, yf, il, jl, i, j, R0v, out_ref,
+                            img_h=img_h, img_w=img_w, ramp=ramp,
+                            pad_y=pad_y, pad_x=pad_x, bh=bh, bw=bw)
+
+    _warp_block_core(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch,
+                     sem, emit, **kw)
 
 
 def _farneback_epilogue(acc, u, v, xf, yf, il, jl, i, j, R0, out_ref,
@@ -551,7 +561,6 @@ def block_warp_bilinear(
         scratch_shapes=[
             pltpu.VMEM((2, C, ph, pw), cdtype),  # double-buffered patch slots
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((C, bh, bw), jnp.float32),  # branched-selection acc
         ],
     )
     kernel = functools.partial(
@@ -663,7 +672,6 @@ def block_warp_farneback_update(
     scratch = [
         pltpu.VMEM((2, C, ph, pw), cdtype),
         pltpu.SemaphoreType.DMA((2,)),
-        pltpu.VMEM((C, bh, bw), jnp.float32),  # branched-selection acc
     ]
     common = dict(
         img_h=img_hw[0], img_w=img_hw[1],

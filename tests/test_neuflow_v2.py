@@ -1,0 +1,93 @@
+"""NeuFlow-v2 paper architecture: forward shapes + converter machinery.
+
+The real pretrained checkpoint is unreachable (no egress; the reference
+loads it from HuggingFace at runtime, reference neuflow_node.py:38), so
+these tests pin the architecture's contract and prove the shape-signature
+converter roundtrips — the weight-arrival readiness VERDICT r3 item 9 asks
+for.  NeuFlowLite remains the serving default.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from opticalflowcontainer_tpu.models.neuflow_v2 import (
+    NeuFlowV2,
+    convert_neuflow_v2,
+    estimate,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    rng = np.random.default_rng(0)
+    m = NeuFlowV2()
+    i1 = jnp.asarray(rng.uniform(0, 1, (64, 96, 3)), jnp.float32)
+    i2 = jnp.asarray(rng.uniform(0, 1, (64, 96, 3)), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), i1, i2, 1)
+    return m, p, i1, i2
+
+
+def test_forward_shape_and_finite(model_and_params):
+    m, p, i1, i2 = model_and_params
+    flow = estimate(m, p, i1, i2, iters_s8=2)
+    assert flow.shape == (64, 96, 2)
+    assert np.isfinite(np.asarray(flow)).all()
+
+
+def test_non_multiple_of_16_pads(model_and_params):
+    m, p, i1, i2 = model_and_params
+    flow = estimate(m, p, i1[:60, :90], i2[:60, :90], iters_s8=1)
+    assert flow.shape == (60, 90, 2)
+
+
+def test_global_matching_recovers_shift():
+    """The parameter-free global-matching stage must recover an integer
+    translation exactly on distinctive features: f2 = roll(f1, +3 in x)
+    => flow_x ~ +3 in the interior (softmax peaks on the matched token)."""
+    from opticalflowcontainer_tpu.models.neuflow_v2 import global_matching_flow
+
+    rng = np.random.default_rng(0)
+    f1 = jnp.asarray(rng.normal(0, 2.0, (12, 16, 64)), jnp.float32)
+    f2 = jnp.roll(f1, 3, axis=1)
+    flow = np.asarray(global_matching_flow(f1, f2))
+    interior = flow[2:-2, 2:-10]  # away from the wrap seam
+    assert np.allclose(interior[..., 0], 3.0, atol=0.05), interior[..., 0]
+    assert np.allclose(interior[..., 1], 0.0, atol=0.05)
+
+
+def test_converter_roundtrip(model_and_params):
+    torch = pytest.importorskip("torch")
+    m, p, _, _ = model_and_params
+    flat = jax.tree_util.tree_flatten_with_path(p)[0]
+    sd = {}
+    for i, (path, a) in enumerate(flat):
+        ks = jax.tree_util.keystr(path)
+        top = ks.split("'")[3]
+        a = np.asarray(a)
+        if a.ndim == 4:
+            t = torch.tensor(np.transpose(a, (3, 2, 0, 1)))
+        elif a.ndim == 2:
+            t = torch.tensor(a.T)
+        else:
+            t = torch.tensor(a)
+        sd[f"{top}.m{i}.w"] = t
+    m2, p2 = convert_neuflow_v2(sd, m)
+    mx = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda x, y: float(jnp.abs(x - y).max()), p, p2)))
+    assert mx == 0.0
+
+
+def test_converter_rejects_unknown_module(model_and_params):
+    torch = pytest.importorskip("torch")
+    m, _, _, _ = model_and_params
+    with pytest.raises(KeyError, match="unmapped checkpoint module"):
+        convert_neuflow_v2({"bogus.w": torch.zeros(3, 3)}, m)
+
+
+def test_converter_rejects_shape_mismatch(model_and_params):
+    torch = pytest.importorskip("torch")
+    m, _, _, _ = model_and_params
+    with pytest.raises((ValueError, KeyError)):
+        convert_neuflow_v2({"up.mask1.weight": torch.zeros(1, 2, 3, 4)}, m)
