@@ -601,13 +601,26 @@ def _bench_main(argv=None):
                                      n_frames=n, sync_every=2,
                                      drain_async=True, **fb)
         if not lat["held_rate"]:
-            # the axon tunnel has multi-second RTT spikes under load; one
-            # retry distinguishes a transient spike from a real rate miss
-            lat2 = measure_stream_latency(height=480, width=640, fps=30.0,
-                                          n_frames=n, sync_every=2,
-                                          drain_async=True, **fb)
-            if lat2["sustained_fps"] > lat["sustained_fps"]:
-                lat = lat2
+            # Measured 2026-08-19: through a degraded tunnel EVERY separate
+            # program execution costs ~80-90 ms regardless of its ~2 ms
+            # device time (a paced no-sync run held 30 fps but executions
+            # completed at ~11/s; the r3 LFN3 control ran 6.2 fps in the
+            # same window) — at one execution per frame NO kernel holds
+            # 30 fps.  Escalate to chunked streaming: K frames per device
+            # program (runtime/fused.py step_many) amortizes the
+            # per-execution cost; latency grows by up to K camera periods.
+            # chunk mode drains synchronously (cross-thread chunk-vector
+            # fetch aborts the axon client; see measure_stream_latency)
+            for ch in (4, 8):
+                lat_c = measure_stream_latency(height=480, width=640,
+                                               fps=30.0, n_frames=n,
+                                               sync_every=1, chunk=ch,
+                                               drain_async=False, **fb)
+                if (lat_c["held_rate"]
+                        or lat_c["sustained_fps"] > lat["sustained_fps"]):
+                    lat = lat_c
+                if lat["held_rate"]:
+                    break
         dev_ms = measure_device_stream_ms(height=480, width=640,
                                           n_steps=10 if args.quick else 30, **fb)
         record["stream_640x480_p50_latency_ms"] = round(lat["p50_ms"], 2)
@@ -615,10 +628,12 @@ def _bench_main(argv=None):
         record["stream_640x480_sustained_fps"] = round(lat["sustained_fps"], 1)
         record["stream_held_30fps"] = lat["held_rate"]
         record["stream_sync_every"] = lat["sync_every"]
+        record["stream_chunk"] = lat.get("chunk", 1)
         record["stream_device_ms_per_frame"] = round(dev_ms, 2)
         _save_last_good(partial=True)
         if not args.json_only:
-            print(f"# stream 640x480@30 (sync_every=2): p50 {lat['p50_ms']:.1f} ms / "
+            print(f"# stream 640x480@30 (sync_every={lat['sync_every']} "
+                  f"chunk={lat.get('chunk', 1)}): p50 {lat['p50_ms']:.1f} ms / "
                   f"p99 {lat['p99_ms']:.1f} ms; sustained "
                   f"{lat['sustained_fps']:.1f} fps (held={lat['held_rate']}); "
                   f"device {dev_ms:.2f} ms/frame",

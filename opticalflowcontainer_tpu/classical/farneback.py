@@ -75,6 +75,15 @@ BLOCK_WARP = True
 # wider blocks blow the x-deviation budget.  Shipped: (48,128) slack 2 —
 # fastest config under the bar; pure-translation fields measure <=0.0008 px
 # in every config.
+# r4 kernel-only sweep (ms/field-iter at 720p, random +-1.5 px flow):
+# (48,128) s2 0.311 [shipped], (48,256) s2 0.287, (96,256) s2 0.250,
+# (96,128) s2 0.299, s1 0.268, s3 0.438 — the wide-block winners REMAIN
+# rejected: 256-lane blocks put theta*256 ~ 6.7 px of y-deviation across
+# the block at the 1.5-degree rotation bar, past any slack<=3 ((32,256) s2
+# measured 3.09 px EPE in r2).  Selection is tiered instead (9-tap fast
+# tier for span<=1 blocks, ops/blockwarp.py _block_fastq): kernel 0.311 ->
+# 0.241 on translation content, 0.363 on random-flow content (the tier
+# check + branch costs ~17% there), EPE bit-identical by construction.
 BLOCK_WARP_BLOCK = (48, 128)
 BLOCK_WARP_SLACK = 2
 BLOCK_WARP_PAD = (40, 192)  # (pad_y, pad_x): room for the tile-aligned patch + displacement range
@@ -116,7 +125,10 @@ BLOCK_WARP_FUSE = True  # fuse the normal-equation epilogue into the kernel
 BLOCK_WARP_R0SRC = "finest"
 # Storage dtype of the poly expansion's [rows_p, W] t-intermediates (the
 # vertical-pass outputs re-read by every horizontal matmul, ~100 MB/field
-# f32 at 720p clip): None = f32.  bf16 measured on-device before flipping.
+# f32 at 720p clip): None = f32.  bf16 MEASURED AND REJECTED (2026-08-19
+# probe_r4): 0.445 vs 0.416 ms/field f32 at 720p k0 — the poly stage is
+# MXU-bound (~64 TF/s), not bandwidth-bound (stage roofline), so the
+# traffic cut buys nothing and the casts cost.
 POLY_T_DTYPE = None
 # Pallas fused blur+2x2-solve (ops/solve2x2.py): measured SLOWER than the
 # XLA banded-matmul solve at 720p B=8 in both forms — v1 shifted-slice taps

@@ -98,6 +98,32 @@ def _stream_planes(gray, fb_kwargs: tuple, share: str = "all"):
     return _fb.farneback_stream_planes(gray, share=share, **dict(fb_kwargs))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("aggregate", "masked", "fb_kwargs", "share")
+)
+def _fused_chunk_planes(prev_planes, frames, mask, aggregate: str,
+                        masked: bool, fb_kwargs: tuple, share: str = "all"):
+    """Chunked fused step: ONE device program processes ``frames`` [K, ...]
+    as a ``lax.scan`` carrying the planes state, returning [K] velocity
+    scalars.  Through the axon tunnel every separate program EXECUTION costs
+    ~80-90 ms regardless of its ~2 ms device time (measured 2026-08-19:
+    paced no-sync run held 30 fps but the final drain ran at 10.99 s / 119
+    frames; an 8-frame sync took 661 ms; the r3 LFN3 control that once held
+    29.8 fps ran at 6.2 fps in the same window) — so at one execution per
+    frame, 30 fps cannot hold through a degraded tunnel for ANY kernel.
+    Chunking amortizes the per-execution cost K-fold; on a directly-attached
+    TPU (sub-ms execution launch) K=1 is the right setting."""
+    def body(planes, frame):
+        f = frame.astype(jnp.float32)
+        gray = bgr_to_gray(f) if f.ndim == 3 else f
+        flow, planes2 = _fb.farneback_stream_step(
+            planes, gray, share=share, **dict(fb_kwargs))
+        return planes2, _aggregate_u(flow[..., 0], mask, aggregate, masked)
+
+    planes, dus = jax.lax.scan(body, prev_planes, frames)
+    return planes, dus
+
+
 class FusedFarnebackStream:
     """Stateful fused streaming step.  ``step(frame)`` dispatches the fused
     program and returns the (unsynced) device scalar du in pixels; call
@@ -152,6 +178,21 @@ class FusedFarnebackStream:
                 self.fb_kwargs,
             )
         return du
+
+    def step_many(self, frames: np.ndarray, mask: np.ndarray | None = None):
+        """Chunked step: ``frames`` [K, H, W(, 3)] -> [K] velocity scalars as
+        ONE device program (lax.scan carrying the planes state) — the
+        tunnel-degradation countermeasure (one ~90 ms per-execution cost
+        amortized over K frames; see :func:`_fused_chunk_planes`).  Requires
+        the planes path; the first call compiles the chunk-size program."""
+        assert self._planes_active and self._state is not None, (
+            "seed the stream with step(first_frame) before step_many")
+        frames = jnp.asarray(frames)
+        m = jnp.zeros((), bool) if mask is None else jnp.asarray(mask, bool)
+        self._state, dus = _fused_chunk_planes(
+            self._state, frames, m, self.aggregate, mask is not None,
+            self.fb_kwargs, self._share)
+        return dus
 
 
 class FusedModelStream:
@@ -259,6 +300,7 @@ def measure_stream_latency(
     sync_every: int = 1,
     drain_async: bool = False,
     stream=None,
+    chunk: int = 1,
     **fb_kwargs,
 ) -> dict:
     """Drive the fused step at camera pace and measure per-frame latency
@@ -282,8 +324,25 @@ def measure_stream_latency(
     reference's own shape: capture thread + inference thread,
     lfn3_node.py:84-89) so a tunnel RTT longer than the camera period
     cannot stall the dispatch loop; dispatches stay in order, latency is
-    still measured frame-arrival -> velocity-on-host."""
+    still measured frame-arrival -> velocity-on-host.
+
+    ``chunk=K>1`` buffers K frames and runs them as ONE device program
+    (:meth:`FusedFarnebackStream.step_many`).  Through the axon tunnel every
+    separate program EXECUTION costs ~80-90 ms regardless of its ~2 ms
+    device time (measured 2026-08-19 — at one execution per frame NO kernel
+    can hold 30 fps through a degraded tunnel), so chunking amortizes the
+    per-execution cost K-fold at the price of up to K camera periods of
+    buffering latency.  On a directly-attached TPU keep chunk=1.  Chunk mode
+    forces synchronous drains: fetching the [K] device vector from a drainer
+    THREAD aborts the axon client in C++ (``terminate called`` /
+    ``FATAL: exception not rethrown``, measured 2026-08-19 — the plugin's
+    transfer path is not thread-safe for array fetches, only for the scalar
+    ``float()`` path).  A synchronous chunk drain (~110 ms) fits inside the
+    K-frame camera budget (chunk=4 @ 30 fps = 133 ms), so nothing is lost."""
     import jax.numpy as jnp
+
+    if chunk > 1:
+        drain_async = False
 
     rng = np.random.default_rng(0)
     base = rng.uniform(0, 255, (height, width + 4 + n_frames, 3)).astype(np.uint8)
@@ -294,13 +353,26 @@ def measure_stream_latency(
     stream.warmup(frames[0])
     stream.reset()
     stream.step(frames[0])
+    if chunk > 1:
+        # compile the chunk-size program outside the measurement window
+        stream.step_many(np.stack(frames[1 : 1 + chunk]))
+        stream.reset()
+        stream.step(frames[0])
 
     period = 1.0 / fps
     lat = []
-    pending: list[tuple[float, object]] = []
+    pending: list[tuple] = []
 
     def drain(batch):
         if not batch:
+            return
+        if chunk > 1:
+            # entries are (arrival-times list, [K] device vector): one fetch
+            # per chunk entry
+            for t_list, dus in batch:
+                vals = np.asarray(dus)
+                t_done = time.perf_counter()
+                lat.extend(t_done - ta for ta in t_list)
             return
         if len(batch) == 1:
             vals = [float(batch[0][1])]
@@ -342,6 +414,8 @@ def measure_stream_latency(
 
     t_start = time.perf_counter()
     t_next = t_start
+    buf: list = []
+    buf_t: list = []
     for i, frame in enumerate(frames[1:]):
         if paced:
             delay = t_next - time.perf_counter()
@@ -351,11 +425,19 @@ def measure_stream_latency(
             t_next += period
         else:
             t_arrive = time.perf_counter()
-        du = stream.step(frame)
-        if drain_async:
-            q.put((t_arrive, du))
+        if chunk > 1:
+            buf.append(frame)
+            buf_t.append(t_arrive)
+            if len(buf) < chunk:
+                continue
+            entry = (list(buf_t), stream.step_many(np.stack(buf)))
+            buf, buf_t = [], []
         else:
-            pending.append((t_arrive, du))
+            entry = (t_arrive, stream.step(frame))
+        if drain_async:
+            q.put(entry)
+        else:
+            pending.append(entry)
             if len(pending) >= sync_every:
                 drain(pending)
                 pending = []
@@ -371,6 +453,8 @@ def measure_stream_latency(
     raw = np.array(list(lat)) * 1000.0
     lat_ms = np.sort(raw)
     sustained = (len(frames) - 1) / elapsed
+    n_expected = (((len(frames) - 1) // chunk) * chunk if chunk > 1
+                  else len(frames) - 1)
     if raw.size == 0:
         # nothing drained (e.g. the first sync hung for the whole run):
         # report the failure instead of crashing on empty percentiles
@@ -378,6 +462,7 @@ def measure_stream_latency(
             "p50_ms": float("nan"), "p99_ms": float("nan"),
             "mean_ms": float("nan"), "sustained_fps": sustained,
             "target_fps": fps, "held_rate": False, "sync_every": sync_every,
+            "chunk": chunk,
             "drain_async": drain_async, "drainer_hung": drainer_hung,
             "drainer_error": drain_err[0] if drain_err else None,
             "n_frames": len(frames) - 1, "n_measured": 0,
@@ -391,14 +476,19 @@ def measure_stream_latency(
                     > raw[:q4].mean() + 2.0 * 1000.0 / fps)
         # every frame must actually have been measured: a drainer that died
         # mid-run leaves lat short, and the producer self-paces so
-        # `sustained` alone would still look healthy
-        complete = raw.size == len(frames) - 1 and not drain_err
+        # `sustained` alone would still look healthy (chunk mode: the tail
+        # remainder short of a full chunk is never dispatched)
+        complete = raw.size == n_expected and not drain_err
         held = bool(sustained >= 0.97 * fps and not diverged and complete)
     else:
         # synchronous drains: the typical frame's velocity must land within
         # its sync_every camera periods; occasional p99 spikes are
-        # tunnel-RTT jitter, not a falling-behind pipeline.
-        budget_ms = 1000.0 / fps * max(sync_every, 1)
+        # tunnel-RTT jitter, not a falling-behind pipeline.  Chunk mode adds
+        # up to `chunk` periods of deliberate buffering latency (a frame
+        # waits for its chunk to fill before dispatch), so the budget is
+        # (chunk + sync_every) periods there.
+        budget_ms = 1000.0 / fps * (max(sync_every, 1)
+                                    + (chunk if chunk > 1 else 0))
         held = bool(sustained >= 0.98 * fps
                     and float(np.percentile(lat_ms, 50)) < budget_ms)
     return {
@@ -409,6 +499,7 @@ def measure_stream_latency(
         "target_fps": fps,
         "held_rate": held and not drainer_hung,
         "sync_every": sync_every,
+        "chunk": chunk,
         "drain_async": drain_async,
         "drainer_hung": drainer_hung,
         "drainer_error": drain_err[0] if drain_err else None,
