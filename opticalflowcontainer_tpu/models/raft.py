@@ -215,9 +215,15 @@ class _RAFTBase(nn.Module):
         up = jnp.einsum("hwabk,hwkc->hwabc", mask, patches)
         return up.transpose(0, 2, 1, 3, 4).reshape(Hc * 8, Wc * 8, 2)
 
-    def __call__(self, img1, img2, iters: int | None = None):
+    def __call__(self, img1, img2, iters: int | None = None,
+                 final_only: bool = False):
         """img1/img2 [H, W, 3] in [0,1], H and W multiples of 8.  Returns the
-        stack of per-iteration upsampled flows [iters, H, W, 2]."""
+        stack of per-iteration upsampled flows [iters, H, W, 2], or (with
+        ``final_only=True``, the inference contract) just the LAST upsampled
+        flow [H, W, 2] — the per-iteration 8x upsamples exist only for the
+        training sequence loss, and for RAFT-large each one is a full
+        convex-combination head (mask convs + einsum); skipping them is free
+        accuracy-wise and keeps the iteration loop's live set small."""
         # `or` would silently turn an explicit iters=0 into the default
         iters = self.iters if iters is None else iters
         img1 = img1 * 2.0 - 1.0
@@ -232,7 +238,7 @@ class _RAFTBase(nn.Module):
         flow = jnp.zeros(f1.shape[:2] + (2,), jnp.float32)
 
         flows = []
-        for _ in range(iters):
+        for it in range(iters):
             corr = corr_lookup(pyr, flow, self.corr_radius).astype(f1.dtype)
             m = self.motion(flow, corr)
             # [context, motion] — torchvision/official RAFT input order, so a
@@ -242,10 +248,14 @@ class _RAFTBase(nn.Module):
             delta = self.head(h)
             # the flow field itself stays fp32 (coordinate precision)
             flow = flow + delta.astype(jnp.float32)
+            if final_only and it != iters - 1:
+                continue
             if self.small:
                 flows.append(_upsample8_bilinear(flow))
             else:
                 flows.append(self._upsample_convex(flow, h))
+        if final_only:
+            return flows[-1]
         return jnp.stack(flows)
 
 
@@ -269,7 +279,7 @@ def _estimate(model, params, img1, img2, iters):
     Hp, Wp = _pad_to(H, 8), _pad_to(W, 8)
     i1 = resize_bilinear(img1, (Hp, Wp), channel_last=True)
     i2 = resize_bilinear(img2, (Hp, Wp), channel_last=True)
-    flow = model.apply(params, i1, i2, iters)[-1]
+    flow = model.apply(params, i1, i2, iters, final_only=True)
     flow = resize_bilinear(flow, (H, W), channel_last=True)
     return flow * jnp.asarray([W / Wp, H / Hp], flow.dtype)
 

@@ -160,8 +160,61 @@ def main(argv=None):
               "compile_s": round(comp, 1)})
         del ys
 
+        # MXU ceiling: chained big bf16 matmul (the poly/solve stages run as
+        # dense banded-operator matmuls; their defensible ceiling is the
+        # slice's measured matmul rate, not HBM)
+        n = 4096
+        a = jnp.ones((n, n), jnp.bfloat16)
+        b = jnp.ones((n, n), jnp.bfloat16) * 1e-4
+
+        def mxu_step(c, a, b):
+            y = jnp.dot(a * (1.0 + c * 1e-20).astype(jnp.bfloat16), b,
+                        preferred_element_type=jnp.float32)
+            return y[0, 0] * 1e-12
+
+        dev, wall, unrel, comp = timed_pair(mxu_step, a, b)
+        emit({"leg": "ceiling_mxu_bf16",
+              "tflops": round(2.0 * n ** 3 / max(dev, 1e-9) / 1e12, 1),
+              "ms_per_rep": round(dev * 1e3, 3), "unreliable": unrel,
+              "compile_s": round(comp, 1)})
+        del a, b
+
+        # VPU ceiling: chained elementwise select+FMA mix on a VMEM-busting
+        # f32 set — the update kernel's tap selection is this op class
+        nelem = 16 * 1024 * 1024
+        xs = jnp.arange(nelem, dtype=jnp.float32) * 1e-7
+
+        def vpu_step(c, x):
+            y = x + c
+            for _ in range(8):
+                # 4 elem-ops per pass element: compare, select, mul, add
+                y = jnp.where(y > 0.5, y * 0.999, y + 0.001)
+            return y.max() * 1e-9
+
+        dev, wall, unrel, comp = timed_pair(vpu_step, xs)
+        emit({"leg": "ceiling_vpu_f32",
+              "telemops": round(8 * 4 * nelem / max(dev, 1e-9) / 1e12, 2),
+              "ms_per_rep": round(dev * 1e3, 3), "unreliable": unrel,
+              "compile_s": round(comp, 1)})
+        del xs
+
     if args.no_stages:
         return 0
+
+    def xla_tflops(step_fn, dev, *targs):
+        """Achieved TF/s of a stage from XLA's own flop count (exact for
+        XLA-only stages; NOT used for the pallas update kernel, whose flops
+        XLA's cost analysis overcharges ~3x)."""
+        try:
+            f = jax.jit(lambda *a: step_fn(jnp.float32(0), *a))
+            ca = f.lower(*targs).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            return (round(flops / max(dev, 1e-9) / 1e12, 1),
+                    round(flops / 1e9, 2))
+        except Exception:
+            return None, None
 
     # ------------------------------------------------------------- stages
     fbkw = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
@@ -223,11 +276,13 @@ def main(argv=None):
                         + R1.astype(jnp.float32).sum())
 
         dev, wall, unrel, comp = timed_pair(poly_step, frames)
+        tfs, gfl = xla_tflops(poly_step, dev, frames)
         emit({"leg": f"poly_k{k}", "lh": lh, "lw": lw,
               "ms": round(dev * 1e3, 3),
               "ms_per_field": round(dev * 1e3 / fields, 3),
               "model_mb_per_field": round(lv["poly"] / 1e6, 1),
               "gbps": round(lv["poly"] * fields / max(dev, 1e-9) / 1e9, 1),
+              "xla_gflops": gfl, "achieved_tflops": tfs,
               "unreliable": unrel, "compile_s": round(comp, 1)})
 
         # ---- update stage (block-warp kernel, one iteration)
@@ -277,11 +332,17 @@ def main(argv=None):
             upd_args = (R0s, R1s_, u0, v0)
 
         dev, wall, unrel, comp = timed_pair(upd_step, *upd_args)
+        # output-pixel rate: the kernel's work is per-pixel tap selection
+        # (5 planes x 6x6 taps in the slow tier, 3x3 in the fast tier), so
+        # px/s x taps x planes x ~2 is its elem-op rate — compare against
+        # the ceiling_vpu_f32 leg and the measured decomposition floor
+        # (realign=none: DMA+selection only, probe_r4)
         emit({"leg": f"update_k{k}", "lh": lh, "lw": lw,
               "ms": round(dev * 1e3, 3),
               "ms_per_field": round(dev * 1e3 / fields, 3),
               "model_mb": round(lv["update_per_iter"] / 1e6, 1),
               "gbps": round(lv["update_per_iter"] / max(dev, 1e-9) / 1e9, 1),
+              "mpx_per_s": round(lh * lw * fields / max(dev, 1e-9) / 1e6, 1),
               "unreliable": unrel, "compile_s": round(comp, 1)})
 
         # ---- solve stage (blur + 2x2 solve, one iteration)
@@ -296,11 +357,13 @@ def main(argv=None):
             return u.sum() + v.sum()
 
         dev, wall, unrel, comp = timed_pair(slv_step, M0)
+        tfs, gfl = xla_tflops(slv_step, dev, M0)
         emit({"leg": f"solve_k{k}", "lh": lh, "lw": lw,
               "ms": round(dev * 1e3, 3),
               "ms_per_field": round(dev * 1e3 / fields, 3),
               "model_mb": round(lv["solve_per_iter"] / 1e6, 1),
               "gbps": round(lv["solve_per_iter"] / max(dev, 1e-9) / 1e9, 1),
+              "xla_gflops": gfl, "achieved_tflops": tfs,
               "unreliable": unrel, "compile_s": round(comp, 1)})
 
     # ---- resize stage: all inter-level flow resizes chained together

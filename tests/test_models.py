@@ -73,6 +73,9 @@ def test_raft_small_forward(rng):
     flows = model.apply(params, i1, i2, 2)
     assert flows.shape == (2, 48, 64, 2)
     assert np.isfinite(np.asarray(flows)).all()
+    # inference contract: final_only returns exactly the stacked [-1] flow
+    last = model.apply(params, i1, i2, 2, final_only=True)
+    np.testing.assert_array_equal(np.asarray(last), np.asarray(flows[-1]))
 
 
 def test_neuflow_forward(rng):
