@@ -162,22 +162,41 @@ def main(argv=None):
 
         # MXU ceiling: chained big bf16 matmul (the poly/solve stages run as
         # dense banded-operator matmuls; their defensible ceiling is the
-        # slice's measured matmul rate, not HBM)
+        # slice's measured matmul rate, not HBM).  The CARRY is the full
+        # output matrix: a scalar carry (y[0,0]) lets XLA strength-reduce
+        # the sliced dot to one row (measured 7.7 "PF/s" — DCE, not MXU).
         n = 4096
-        a = jnp.ones((n, n), jnp.bfloat16)
-        b = jnp.ones((n, n), jnp.bfloat16) * 1e-4
+        a0 = jnp.ones((n, n), jnp.bfloat16)
+        # row-stochastic-ish b keeps the chained product bounded (~1.0)
+        b = jnp.full((n, n), 1.0 / n, jnp.bfloat16)
 
-        def mxu_step(c, a, b):
-            y = jnp.dot(a * (1.0 + c * 1e-20).astype(jnp.bfloat16), b,
-                        preferred_element_type=jnp.float32)
-            return y[0, 0] * 1e-12
+        def make_mxu(nreps):
+            def fn(a, b):
+                def body(y, _):
+                    y2 = jnp.dot(y, b, preferred_element_type=jnp.float32)
+                    return y2.astype(jnp.bfloat16), None
+                y, _ = jax.lax.scan(body, a, None, length=nreps)
+                return y.astype(jnp.float32).sum() * 1e-12
+            return jax.jit(fn)
 
-        dev, wall, unrel, comp = timed_pair(mxu_step, a, b)
+        f_full, f_half = make_mxu(reps), make_mxu(reps_h)
+        t0 = time.time()
+        float(f_full(a0, b))
+        comp = time.time() - t0
+        float(f_half(a0, b))
+        tf = min((lambda s: (float(f_full(a0, b)), time.time() - s)[1])(
+            time.time()) for _ in range(3))
+        th = min((lambda s: (float(f_half(a0, b)), time.time() - s)[1])(
+            time.time()) for _ in range(3))
+        dev = (tf - th) / (reps - reps_h)
+        unrel = not (0.0 < dev <= tf / reps * 1.25)
+        if unrel:
+            dev = tf / reps
         emit({"leg": "ceiling_mxu_bf16",
               "tflops": round(2.0 * n ** 3 / max(dev, 1e-9) / 1e12, 1),
               "ms_per_rep": round(dev * 1e3, 3), "unreliable": unrel,
               "compile_s": round(comp, 1)})
-        del a, b
+        del a0, b
 
         # VPU ceiling: chained elementwise select+FMA mix on a VMEM-busting
         # f32 set — the update kernel's tap selection is this op class
