@@ -27,7 +27,8 @@ import flax.linen as nn
 
 from .common import Conv, leaky
 from ..core.resize import resize_bilinear
-from ..ops import all_pairs_correlation, corr_pyramid, corr_lookup
+from ..core.backend import on_tpu
+from ..ops import all_pairs_correlation, corr_pyramid, corr_lookup, pack_corr_pyramid
 
 
 class InstanceNorm(nn.Module):
@@ -228,13 +229,20 @@ class _RAFTBase(nn.Module):
         iters = self.iters if iters is None else iters
         img1 = img1 * 2.0 - 1.0
         img2 = img2 * 2.0 - 1.0
-        f1 = self.fnet(img1)
-        f2 = self.fnet(img2)
+        # one batched fnet pass over both frames: same weights/numerics, half
+        # the op count on the dispatch-bound fixed leg (tiny-channel convs +
+        # InstanceNorms dominate latency, not flops — CLAUDE.md r2s6)
+        f12 = self.fnet(jnp.stack([img1, img2]))
+        f1, f2 = f12[0], f12[1]
         c = self.cnet(img1)
         h = jnp.tanh(c[..., : self.hidden])
         ctx = nn.relu(c[..., self.hidden :])
         vol = all_pairs_correlation(f1, f2)
         pyr = corr_pyramid(vol, self.corr_levels)
+        if on_tpu():
+            # fat-row pack once per frame; every GRU iteration's lookup then
+            # gathers 1 row per (pixel, level) instead of 2r+2 (allpairs.py)
+            pyr = pack_corr_pyramid(pyr, self.corr_radius)
         flow = jnp.zeros(f1.shape[:2] + (2,), jnp.float32)
 
         flows = []

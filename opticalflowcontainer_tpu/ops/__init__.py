@@ -15,7 +15,12 @@ so :func:`local_correlation` ships the lax form unconditionally — the Pallas
 kernel is kept, tested, and honestly demoted, not dispatched.
 """
 from .correlation import local_correlation, correlation_lax
-from .allpairs import all_pairs_correlation, corr_pyramid, corr_lookup
+from .allpairs import (
+    all_pairs_correlation,
+    corr_pyramid,
+    corr_lookup,
+    pack_corr_pyramid,
+)
 from .unfold import unfold
 
 __all__ = [
@@ -24,5 +29,6 @@ __all__ = [
     "all_pairs_correlation",
     "corr_pyramid",
     "corr_lookup",
+    "pack_corr_pyramid",
     "unfold",
 ]

@@ -159,6 +159,89 @@ def _window_volume_sample_rows(vol: jax.Array, cx: jax.Array, cy: jax.Array,
     return out.reshape(H, W, n * n)
 
 
+# Above this, pre-packing a level into y-window fat rows ((n+1)/2 x the f32
+# volume bytes in bf16) stops paying for itself in HBM; the rows path is kept.
+PACK_MAX_BYTES = 768 * 1024 * 1024
+
+
+def pack_corr_pyramid(
+    pyramid: list[jax.Array], radius: int
+) -> list[jax.Array]:
+    """Pre-pack each pyramid level's target plane into y-window fat rows.
+
+    The volume is FIXED across all GRU iterations, but the per-iteration
+    lookup (_window_volume_sample_rows) gathers n+1 = 2r+2 separate y-rows
+    per (source pixel, level) every iteration.  The measured gather cost is
+    per ROW and flat in row width (CLAUDE.md round-1: ~11 ns/row for
+    16-256 B rows), so packing the n+1 consecutive (zero-padded) y-rows of
+    every possible window position into ONE fat row — once per frame —
+    makes each iteration's lookup a single gather per (pixel, level):
+    (n+1)x fewer gathered rows on the dominant per-iteration term,
+    amortized over the 12 iterations.
+
+    Returns [P, H2+n, (n+1)*W2] bf16 per level (P = H*W source pixels;
+    row k holds target y-rows k-n .. k of the n-padded plane, i.e. the
+    window of floor(cy) = k - r - 1).  Falls back to the unpacked pyramid
+    when the packed bytes would exceed PACK_MAX_BYTES (the packed form is
+    (n+1)/2 x the f32 volume; RAFT shapes stay far under the cap).
+    """
+    n = 2 * radius + 1
+    total = sum(
+        v.shape[0] * v.shape[1] * (v.shape[2] + n) * (n + 1) * v.shape[3] * 2
+        for v in pyramid
+    )
+    if total > PACK_MAX_BYTES:
+        return pyramid
+    packed = []
+    for vol in pyramid:
+        H, W, H2, W2 = vol.shape
+        P = H * W
+        volp = jnp.pad(
+            vol.astype(jnp.bfloat16).reshape(P, H2, W2), ((0, 0), (n, n), (0, 0))
+        )
+        K = H2 + n
+        packed.append(
+            jnp.concatenate([volp[:, i : i + K, :] for i in range(n + 1)], axis=-1)
+        )
+    return packed
+
+
+def _window_volume_sample_packed(rows: jax.Array, cx: jax.Array, cy: jax.Array,
+                                 r: int) -> jax.Array:
+    """Windowed bilinear sample from a pack_corr_pyramid level.
+
+    Same math as _window_volume_sample_rows (y-bilinear pairs elementwise,
+    x-window as a per-pixel one-hot matmul carrying the x-bilinear weights
+    and zero-outside masking) but fetches ONE fat row per source pixel:
+    row k = floor(cy) + r + 1 of the packed level holds the window's n+1
+    zero-padded y-rows.  Out-of-range y handling: partial overlaps read the
+    zero padding baked into the pack (exact); fully-out windows hit a
+    clamped real-data row and are killed by the `valid` mask.
+    """
+    P, K, Wn = rows.shape
+    n = 2 * r + 1
+    H2 = K - n
+    W2 = Wn // (n + 1)
+    y0 = jnp.floor(cy).astype(jnp.int32).reshape(P)
+    x0 = jnp.floor(cx).astype(jnp.int32).reshape(P)
+    wy = cy.reshape(P) - y0.astype(jnp.float32)
+    wx = cx.reshape(P) - x0.astype(jnp.float32)
+    k = jnp.clip(y0 + r + 1, 0, K - 1)
+    lin = (jnp.arange(P, dtype=jnp.int32) * K + k).reshape(P, 1)
+    fat = jnp.take_along_axis(rows.reshape(P * K, Wn), lin, axis=0)
+    win = fat.astype(jnp.float32).reshape(P, n + 1, W2)
+    valid = ((y0 >= -(r + 1)) & (y0 <= H2 - 1 + r)).astype(jnp.float32)
+    vy = win[:, :n] * (1.0 - wy)[:, None, None] + win[:, 1:] * wy[:, None, None]
+    vy = vy * valid[:, None, None]
+    base = (x0 - r)[:, None, None]
+    xs = jnp.arange(W2, dtype=jnp.int32)[None, :, None]
+    dxs = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+    Sx = (xs == base + dxs).astype(jnp.float32) * (1.0 - wx)[:, None, None] + (
+        xs == base + dxs + 1
+    ).astype(jnp.float32) * wx[:, None, None]
+    return jnp.einsum("pdx,pxe->pde", vy, Sx, preferred_element_type=jnp.float32)
+
+
 def corr_lookup(
     pyramid: list[jax.Array], flow: jax.Array, radius: int = 4
 ) -> jax.Array:
@@ -166,6 +249,8 @@ def corr_lookup(
 
     ``flow`` [H, W, 2] (u, v); returns [H, W, levels*(2r+1)^2] features, level
     -major then row-major over (dy, dx) — torchvision RAFT ordering.
+    ``pyramid`` is either raw [H, W, H2, W2] levels or the fat-row-packed
+    form from :func:`pack_corr_pyramid` (detected by ndim).
     """
     H, W = flow.shape[0], flow.shape[1]
     r = radius
@@ -173,6 +258,17 @@ def corr_lookup(
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     cx = xs + flow[..., 0].astype(jnp.float32)
     cy = ys + flow[..., 1].astype(jnp.float32)
+    n = 2 * r + 1
+    if pyramid[0].ndim == 3:
+        return jnp.concatenate(
+            [
+                _window_volume_sample_packed(
+                    rows, cx * 0.5**l, cy * 0.5**l, r
+                ).reshape(H, W, n * n)
+                for l, rows in enumerate(pyramid)
+            ],
+            axis=-1,
+        )
     if _on_tpu():
         return jnp.concatenate(
             [
