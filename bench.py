@@ -173,13 +173,14 @@ def _bench_main(argv=None):
     # path).  B=2 is the shipped operating point.
     # At B=2 the per-execution RTT needs a longer chain to vanish: reps=128
     # puts ~0.55 s of device work behind one sync (<2% bias at 90 ms RTT).
-    # Default operating point: clip mode T=5 (4 consecutive fields/call with
-    # shared per-frame polynomial expansions).  Interleaved same-process A/B
-    # at equal fields/call (2026-08-17): clip 3.16 vs pair 3.77 ms/field —
-    # the video-stream contract saves the interior frames' duplicate
-    # expansions.  --batch N selects the independent-pairs mode instead.
+    # Default operating point: clip mode T=7 (6 consecutive fields/call with
+    # shared per-frame polynomial expansions).  Interleaved same-process A/Bs:
+    # clip 3.16 vs pair 3.77 ms/field at T=5 (2026-08-17); T=7 2.42 vs T=5
+    # 2.55 vs T=9 2.51 (r4 probe, 128-rep chains, 3 rounds) — more interior
+    # frames amortize the endpoint expansions, T=9 gives it back to source-
+    # size superlinearity.  --batch N selects the independent-pairs mode.
     if args.clip is None and args.batch is None:
-        args.clip = 5
+        args.clip = 7
     if args.clip is not None and args.clip < 2:
         raise SystemExit("--clip needs T >= 2 (T-1 fields per call)")
     B = args.batch or 2

@@ -48,7 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.filters import _sepconv, gaussian_kernel_1d, _on_tpu
-from ..core.banded import as_operator
+from ..core.banded import apply_banded_h, apply_banded_v, as_operator
 from ..core.resize import resize_bilinear, _interp_matrix
 
 OPTFLOW_USE_INITIAL_FLOW = 4
@@ -440,25 +440,23 @@ def _poly_planes_direct(img: jax.Array, mats, out_dtype=None,
     stack (vs emit-then-``jnp.stack([src, roll(src)])``, which re-reads and
     re-writes every plane).  Exact: same matmul, shifted operator rows."""
     (Vg, Vxg, Vxxg), hmats, (ig03, ig33) = mats
-    mm = functools.partial(jnp.einsum, precision=POLY_PRECISION,
-                           preferred_element_type=jnp.float32)
-    Vg, Vxg, Vxxg = as_operator(Vg), as_operator(Vxg), as_operator(Vxxg)
+    mv = functools.partial(apply_banded_v, precision=POLY_PRECISION)
+    mh = functools.partial(apply_banded_h, precision=POLY_PRECISION)
     # t intermediates are [rows_p, W_full] arrays materialized in HBM between
     # the vertical and horizontal passes (too big to stay in VMEM); POLY_T
     # DTYPE=bf16 halves that traffic (the output planes are already bf16 on
     # the TPU path, so the added quantization is the same error class the
     # pipeline already accepts — device EPE guard covers the 0.1 px bar)
     tdt = POLY_T_DTYPE or jnp.float32
-    tg = mm("oh,...hw->...ow", Vg, img).astype(tdt)
-    txg = mm("oh,...hw->...ow", Vxg, img).astype(tdt)
-    txxg = mm("oh,...hw->...ow", Vxxg, img).astype(tdt)
+    tg = mv(Vg, img).astype(tdt)
+    txg = mv(Vxg, img).astype(tdt)
+    txxg = mv(Vxxg, img).astype(tdt)
     t_ayy = (ig03 * tg.astype(jnp.float32)
              + ig33 * txxg.astype(jnp.float32)).astype(tdt)
     t_in = (tg, txg, tg, t_ayy, txg)  # per-plane horizontal-matmul inputs
 
     def emit(hs):
-        planes = [mm("...hw,pw->...hp", t, as_operator(Hk))
-                  for t, Hk in zip(t_in, hs)]
+        planes = [mh(Hk, t) for t, Hk in zip(t_in, hs)]
         R = jnp.stack(planes, axis=-3)
         return R.astype(out_dtype) if out_dtype is not None else R
 
@@ -577,16 +575,16 @@ def _solve_flow_planes(M: jax.Array, winsize: int, gaussian: bool):
     else:
         k = np.ones(winsize, np.float64) / winsize
     kb = np.asarray(k, np.float64).tobytes()
-    Bv = as_operator(_border_conv_matrix(H, kb, "replicate"))
-    Bh = as_operator(_border_conv_matrix(W, kb, "replicate"))
-    Mb = jnp.einsum("oh,...hw->...ow", Bv, M, preferred_element_type=jnp.float32)
+    Bv = _border_conv_matrix(H, kb, "replicate")
+    Bh = _border_conv_matrix(W, kb, "replicate")
+    Mb = apply_banded_v(Bv, M)
     if M.dtype == jnp.bfloat16:
         # keep the full-res intermediate in bf16 too: the solve is
         # bandwidth-bound (~790 MB fp32 at 720p B=8) and the 2x2 solve's
         # numerator/denominator share the blur error, so flow error stays
         # ~1e-3 px (device EPE vs cv2 guards the 0.1 px bar)
         Mb = Mb.astype(jnp.bfloat16)
-    Mb = jnp.einsum("...hw,pw->...hp", Mb, Bh, preferred_element_type=jnp.float32)
+    Mb = apply_banded_h(Bh, Mb)
     G00, G01, G11, h1, h2 = (Mb[:, c] for c in range(5))
     idet = 1.0 / (G00 * G11 - G01 * G01 + 1e-3)
     u = (G11 * h1 - G01 * h2) * idet
@@ -687,12 +685,8 @@ def _solve_flow(M: jax.Array, winsize: int, gaussian: bool) -> jax.Array:
     if _on_tpu():
         H, W = M.shape[-3], M.shape[-2]
         kb = np.asarray(k, np.float64).tobytes()
-        Bv = as_operator(_border_conv_matrix(H, kb, "replicate"))
-        Bh = as_operator(_border_conv_matrix(W, kb, "replicate"))
-        Mb = jnp.einsum("oh,c...hw->c...ow", Bv, Mc,
-                        preferred_element_type=jnp.float32)
-        Mb = jnp.einsum("c...hw,pw->c...hp", Mb, Bh,
-                        preferred_element_type=jnp.float32)
+        Mb = apply_banded_v(_border_conv_matrix(H, kb, "replicate"), Mc)
+        Mb = apply_banded_h(_border_conv_matrix(W, kb, "replicate"), Mb)
     else:
         Mb = _sepconv(Mc, k, k, "replicate")
     G00, G01, G11, h1, h2 = Mb[0], Mb[1], Mb[2], Mb[3], Mb[4]

@@ -159,9 +159,14 @@ def _window_volume_sample_rows(vol: jax.Array, cx: jax.Array, cy: jax.Array,
     return out.reshape(H, W, n * n)
 
 
-# Above this, pre-packing a level into y-window fat rows ((n+1)/2 x the f32
-# volume bytes in bf16) stops paying for itself in HBM; the rows path is kept.
-PACK_MAX_BYTES = 768 * 1024 * 1024
+# Packing gate, in packed bytes.  Default 0 = OFF: an interleaved A/B at
+# RAFT-small 384x512 (r4 probe, 64-rep chains, 3 rounds) measured the packed
+# form +3.4 ms FIXED (the pack construction: 10.8 vs 7.4 ms) with NO
+# per-iteration saving (0.590 vs 0.588 ms/iter) — the gather cost is per row
+# and the rows path's n+1 thin gathers cost the same as one fat one at these
+# row widths, so the pack only adds its build cost.  The code path stays for
+# shapes/backends where fatter rows might win; raise the gate to re-enable.
+PACK_MAX_BYTES = 0
 
 
 def pack_corr_pyramid(

@@ -185,8 +185,13 @@ class FusedFarnebackStream:
         tunnel-degradation countermeasure (one ~90 ms per-execution cost
         amortized over K frames; see :func:`_fused_chunk_planes`).  Requires
         the planes path; the first call compiles the chunk-size program."""
-        assert self._planes_active and self._state is not None, (
+        assert self._state is not None, (
             "seed the stream with step(first_frame) before step_many")
+        if not self._planes_active:
+            # lax/CPU path: no chunked device program exists — run the
+            # per-frame step (same numbers, no amortization; the chunk
+            # countermeasure targets the TPU tunnel's per-execution cost)
+            return jnp.stack([self.step(f, mask) for f in frames])
         frames = jnp.asarray(frames)
         m = jnp.zeros((), bool) if mask is None else jnp.asarray(mask, bool)
         self._state, dus = _fused_chunk_planes(

@@ -77,3 +77,41 @@ def test_zero_rows_and_edge_runs():
     M[299, -7:] = 2.0       # run at right edge (start clamped)
     M[150, 1000:1004] = 3.0
     _roundtrip(M)
+
+
+def test_row_block_split_matches_dense():
+    """apply_banded_v/h with BANDED_SPLIT match the unsplit einsums to f32
+    reassociation noise (the trimmed contraction drops only exact zeros; the
+    MXU accumulation grouping differs, so equality is close, not bit)."""
+    import opticalflowcontainer_tpu.core.banded as bd
+
+    rng = np.random.default_rng(7)
+    k = (np.ones(13, np.float64) / 13).tobytes()
+    Mv = _border_conv_matrix(600, k, "replicate")
+    Mh = _border_conv_matrix(640, k, "reflect101")
+    x = jnp.asarray(rng.standard_normal((3, 600, 640)).astype(np.float32))
+    assert bd.BANDED_SPLIT == "auto" and bd._resolve_split() is None  # cpu
+    ref_v = np.asarray(bd.apply_banded_v(Mv, x))
+    ref_h = np.asarray(bd.apply_banded_h(Mh, x))
+    try:
+        for ns in (2, 4, 5):
+            bd.BANDED_SPLIT = ns
+            np.testing.assert_allclose(
+                np.asarray(bd.apply_banded_v(Mv, x)), ref_v,
+                rtol=0, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(bd.apply_banded_h(Mh, x)), ref_h,
+                rtol=0, atol=1e-5)
+    finally:
+        bd.BANDED_SPLIT = "auto"
+    # small matrices bypass the split entirely (same object path as dense)
+    bd.BANDED_SPLIT = 4
+    try:
+        small = _border_conv_matrix(64, k, "replicate")
+        got = np.asarray(bd.apply_banded_v(small, x[:, :64, :64]))
+        want = np.asarray(
+            jnp.einsum("oh,chw->cow", jnp.asarray(small), x[:, :64, :64],
+                       preferred_element_type=jnp.float32))
+        np.testing.assert_array_equal(got, want)
+    finally:
+        bd.BANDED_SPLIT = "auto"

@@ -13,6 +13,19 @@ from opticalflowcontainer_tpu.ops.allpairs import (
 )
 
 
+def _packed(pyr, r):
+    """pack_corr_pyramid with the size gate forced open (the shipped default
+    is 0 = packing OFF after the r4 A/B; these tests cover the kept path)."""
+    import opticalflowcontainer_tpu.ops.allpairs as ap
+
+    old = ap.PACK_MAX_BYTES
+    try:
+        ap.PACK_MAX_BYTES = 1 << 40
+        return ap.pack_corr_pyramid(pyr, r)
+    finally:
+        ap.PACK_MAX_BYTES = old
+
+
 def test_all_pairs_matches_brute(rng):
     H, W, C = 6, 8, 16
     f1 = rng.standard_normal((H, W, C)).astype(np.float32)
@@ -72,7 +85,7 @@ def test_packed_sample_matches_rows_path(rng):
     cx = rng.uniform(-2 * W2, 2 * W2, size=(H, W)).astype(np.float32)
     cy = rng.uniform(-2 * H2, 2 * H2, size=(H, W)).astype(np.float32)
     ref = np.asarray(_window_volume_sample_rows(vol, cx, cy, r))
-    (packed,) = pack_corr_pyramid([vol], r)
+    (packed,) = _packed([vol], r)
     n = 2 * r + 1
     assert packed.shape == (H * W, H2 + n, (n + 1) * W2)
     got = np.asarray(_window_volume_sample_packed(packed, cx, cy, r)).reshape(
@@ -90,7 +103,7 @@ def test_corr_lookup_packed_matches_unpacked(rng):
     pyr = corr_pyramid(vol, 3)
     flow = rng.uniform(-3, 3, size=(H, W, 2)).astype(np.float32)
     ref = np.asarray(corr_lookup(pyr, flow, radius=2))
-    got = np.asarray(corr_lookup(pack_corr_pyramid(pyr, 2), flow, radius=2))
+    got = np.asarray(corr_lookup(_packed(pyr, 2), flow, radius=2))
     # packed path reads a bf16 source (the TPU tactic); CPU oracle is f32
     np.testing.assert_allclose(got, ref, rtol=0, atol=2e-2)
     assert np.abs(got - ref).mean() < 3e-3
