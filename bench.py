@@ -62,7 +62,18 @@ def _bench_main(argv=None):
                     help="force the CPU backend (harness smoke-testing; the "
                          "sandbox sitecustomize forces the axon platform, so "
                          "JAX_PLATFORMS=cpu alone does NOT work)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="CI smoke: CPU backend, tiny shapes for EVERY leg "
+                    "(including the ones with hardcoded production shapes) so "
+                    "each leg's imports AND programs execute — round 4 "
+                    "shipped a bench that crashed on an import only the "
+                    "non-quick multistream leg hit (VERDICT r4 weak #1)")
     args = ap.parse_args(argv)
+    if args.smoke:
+        args.cpu = True
+        args.quick = True
+        if args.multistream is None:
+            args.multistream = True  # quick must NOT skip it in smoke
     if args.multistream is None:
         args.multistream = not args.quick
 
@@ -104,6 +115,10 @@ def _bench_main(argv=None):
         "vs_baseline": 0.0,
     }
     state = {"record": record, "done": False}
+    # expose the live record to main()'s crash handler: an exception in a
+    # LATE leg must not erase the legs already measured (round 4 lost a
+    # 2.0 ms/field headline to a zeroed fresh record — VERDICT r4 weak #2)
+    _bench_main._state = state
 
     _LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_last_good.json")
@@ -118,17 +133,23 @@ def _bench_main(argv=None):
         if args.quick or args.cpu or not rec.get("value"):
             return  # only real full-run TPU measurements are worth keeping
         try:
-            if partial:
-                try:
-                    with open(_LAST_GOOD) as f:
-                        if not json.load(f).get("partial", False):
-                            return  # keep the existing full record
-                except (OSError, ValueError):
-                    pass
             rd = dict(rec)
             rd["partial"] = partial
             rd["recorded_at"] = time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            if partial:
+                try:
+                    with open(_LAST_GOOD) as f:
+                        prev = json.load(f)
+                except (OSError, ValueError):
+                    prev = None
+                if prev is not None and not prev.get("partial", False):
+                    # keep the full record as the primary, but surface the
+                    # NEWER partial next to it instead of discarding it
+                    # (round 4: the best-ever measurement existed only in a
+                    # stderr tail because a stale full blocked the partial)
+                    prev.pop("newer_partial", None)
+                    rd = dict(prev, newer_partial=rd)
             with open(_LAST_GOOD, "w") as f:
                 json.dump(rd, f)
         except Exception:
@@ -352,7 +373,7 @@ def _bench_main(argv=None):
         # (compiled cost analysis of the single-call program) / the
         # RTT-cancelled device per-field time.  Proves how much of the
         # remaining fields/s gap is bandwidth-fundamental vs unclaimed.
-        nelem = 32 * 1024 * 1024  # 128 MB f32
+        nelem = (1024 * 1024) if args.smoke else 32 * 1024 * 1024  # 128 MB f32
         xs = jnp.arange(nelem, dtype=jnp.float32)
         ceil_reps = 8 if args.quick else 24
         ceil_half = max(ceil_reps // 2, 1)
@@ -418,8 +439,8 @@ def _bench_main(argv=None):
         # nodes live in its sibling repo, monitor.sh:16-20)
         from opticalflowcontainer_tpu.classical import calc_optical_flow_pyr_lk
 
-        Hl, Wl, Npts = 480, 640, 500
-        lk_reps = 4 if args.quick else 48
+        Hl, Wl, Npts = (64, 96, 25) if args.smoke else (480, 640, 500)
+        lk_reps = 2 if args.smoke else (4 if args.quick else 48)
         import scipy.ndimage as _ndi
 
         # smooth texture so windows carry gradient signal
@@ -470,7 +491,7 @@ def _bench_main(argv=None):
             farneback_stream_step,
         )
 
-        Hm, Wm = 1080, 1920
+        Hm, Wm = (48, 64) if args.smoke else (1080, 1920)
         ms_steps = 4 if args.quick else 16
         fbm = dict(levels=3, winsize=15, iterations=3)
         ms_share = _fbmod.share_mode(Hm, Wm)
@@ -513,14 +534,16 @@ def _bench_main(argv=None):
         # bound (VPU/MXU bind), so linear-in-bandwidth scaling is an UPPER
         # bound; with the measured ceiling already near spec the factor is
         # ~1 and the raw device fps is what decides meets_120 in practice.
+        # meets_120 flips ONLY on the measured device number; the full-chip
+        # projection is an unmeasured upper bound and is reported separately
+        # (ADVICE r4: a target-met flag must not rest on an extrapolation)
+        record["multistream_meets_120"] = bool(dev_fps >= 120.0)
         ceil = record.get("hbm_ceiling_gbps")
         if ceil and not record.get("roofline_ceiling_unreliable"):
             proj = dev_fps * min(820.0 / ceil, 8.0)
             record["multistream_full_chip_projected_fields_per_sec"] = round(
                 proj, 1)
-            record["multistream_meets_120"] = bool(max(dev_fps, proj) >= 120.0)
-        else:
-            record["multistream_meets_120"] = bool(dev_fps >= 120.0)
+            record["multistream_meets_120_projected"] = bool(proj >= 120.0)
 
         # end-to-end: 2 synthetic streams at 60 fps for >= 30 s
         from opticalflowcontainer_tpu.runtime.bus import Bus
@@ -546,7 +569,7 @@ def _bench_main(argv=None):
         t_wait = time.time()
         while msf2.batches < 2 and time.time() - t_wait < 600.0:
             time.sleep(0.2)
-        dur = 30.0 if not args.quick else 8.0
+        dur = 2.0 if args.smoke else (30.0 if not args.quick else 8.0)
         t_start_ms = time.time()
         fields0 = msf2.fields
         # continue stamps AFTER the warm-up's (warm-up reached 2/60): a
@@ -590,7 +613,8 @@ def _bench_main(argv=None):
             measure_stream_latency,
         )
 
-        n = 24 if args.quick else 120
+        sh, sw = (48, 64) if args.smoke else (480, 640)
+        n = 12 if args.smoke else (24 if args.quick else 120)
         fb = dict(levels=3, winsize=15, iterations=3)
         # reference camera operating point: 640x480 @ 30 fps (reference
         # lfn3_node.py:29-31; 28 Hz observed, opticalflow_node.py:35).
@@ -600,10 +624,10 @@ def _bench_main(argv=None):
         # shape): through the axon tunnel one sync costs ~50-90 ms RTT —
         # longer than the 33 ms camera period — while the fused device
         # program is ~2 ms, so syncs must overlap dispatch to hold 30.
-        lat = measure_stream_latency(height=480, width=640, fps=30.0,
+        lat = measure_stream_latency(height=sh, width=sw, fps=30.0,
                                      n_frames=n, sync_every=2,
                                      drain_async=True, **fb)
-        if not lat["held_rate"]:
+        if not lat["held_rate"] and not args.smoke:
             # Measured 2026-08-19: through a degraded tunnel EVERY separate
             # program execution costs ~80-90 ms regardless of its ~2 ms
             # device time (a paced no-sync run held 30 fps but executions
@@ -615,7 +639,7 @@ def _bench_main(argv=None):
             # chunk mode drains synchronously (cross-thread chunk-vector
             # fetch aborts the axon client; see measure_stream_latency)
             for ch in (4, 8):
-                lat_c = measure_stream_latency(height=480, width=640,
+                lat_c = measure_stream_latency(height=sh, width=sw,
                                                fps=30.0, n_frames=n,
                                                sync_every=1, chunk=ch,
                                                drain_async=False, **fb)
@@ -624,7 +648,7 @@ def _bench_main(argv=None):
                     lat = lat_c
                 if lat["held_rate"]:
                     break
-        dev_ms = measure_device_stream_ms(height=480, width=640,
+        dev_ms = measure_device_stream_ms(height=sh, width=sw,
                                           n_steps=10 if args.quick else 30, **fb)
         record["stream_640x480_p50_latency_ms"] = round(lat["p50_ms"], 2)
         record["stream_640x480_p99_latency_ms"] = round(lat["p99_ms"], 2)
@@ -665,12 +689,13 @@ def _bench_main(argv=None):
             l_model, l_params = loaded
             stream = FusedModelStream(l_model, l_params, lfn3_est,
                                       bgr_to_rgb=True)
-            n = 24 if args.quick else 120
-            lat3 = measure_stream_latency(height=480, width=640, fps=30.0,
+            lh, lw = (64, 96) if args.smoke else (480, 640)
+            n = 6 if args.smoke else (24 if args.quick else 120)
+            lat3 = measure_stream_latency(height=lh, width=lw, fps=30.0,
                                           n_frames=n, sync_every=2,
                                           drain_async=True, stream=stream)
             if not lat3["held_rate"] and not args.quick:
-                lat3b = measure_stream_latency(height=480, width=640,
+                lat3b = measure_stream_latency(height=lh, width=lw,
                                                fps=30.0, n_frames=n,
                                                sync_every=2,
                                                drain_async=True,
@@ -679,7 +704,7 @@ def _bench_main(argv=None):
                     lat3 = lat3b
 
             # pure device time of the fused LFN3 step via scan chain
-            l_reps = 8 if args.quick else 24
+            l_reps = 2 if args.smoke else (8 if args.quick else 24)
 
             def lfn3_chain(i1, i2):
                 def body(c, _):
@@ -688,9 +713,9 @@ def _bench_main(argv=None):
                 s, _ = jax.lax.scan(body, jnp.float32(0), None, length=l_reps)
                 return s
             i1 = jnp.asarray(
-                rng.uniform(0, 1, (480, 640, 3)), jnp.float32)
+                rng.uniform(0, 1, (lh, lw, 3)), jnp.float32)
             i2 = jnp.asarray(
-                rng.uniform(0, 1, (480, 640, 3)), jnp.float32)
+                rng.uniform(0, 1, (lh, lw, 3)), jnp.float32)
             lf = jax.jit(lfn3_chain)
             float(lf(i1, i2))
             t_l = timed(lf, i1, i2)
@@ -730,13 +755,20 @@ def main(argv=None):
         import traceback
 
         traceback.print_exc()
-        rec = {
-            "metric": "farneback_720p_fields_per_sec",
-            "value": 0.0,
-            "unit": "fields/s",
-            "vs_baseline": 0.0,
-            "error": f"{type(e).__name__}: {e}"[:300],
-        }
+        # emit the record-so-far, NOT a fresh zeroed one: any legs measured
+        # before the crash (headline, EPE, roofline, LK...) are real chip
+        # truth and must reach the driver's BENCH_r*.json (VERDICT r4 #2)
+        live = getattr(_bench_main, "_state", None)
+        if live is not None and live.get("record", {}).get("value"):
+            rec = dict(live["record"])
+        else:
+            rec = {
+                "metric": "farneback_720p_fields_per_sec",
+                "value": 0.0,
+                "unit": "fields/s",
+                "vs_baseline": 0.0,
+            }
+        rec["error"] = f"{type(e).__name__}: {e}"[:300]
         try:
             lg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_last_good.json")

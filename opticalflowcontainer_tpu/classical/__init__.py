@@ -10,7 +10,13 @@ These carry the capability of the reference's classical nodes
 scripts/monitor.sh:16-20 of the reference; BASELINE.json configs 1-3 make them
 first-class requirements).
 """
-from .farneback import calc_optical_flow_farneback, farneback_batched, farneback_clip
+from .farneback import (
+    calc_optical_flow_farneback,
+    farneback_batched,
+    farneback_clip,
+    farneback_stream_planes,
+    farneback_stream_step,
+)
 from .lucas_kanade import calc_optical_flow_pyr_lk
 
 OPTFLOW_USE_INITIAL_FLOW = 4
@@ -20,6 +26,8 @@ __all__ = [
     "calc_optical_flow_farneback",
     "farneback_batched",
     "farneback_clip",
+    "farneback_stream_planes",
+    "farneback_stream_step",
     "calc_optical_flow_pyr_lk",
     "OPTFLOW_USE_INITIAL_FLOW",
     "OPTFLOW_FARNEBACK_GAUSSIAN",

@@ -140,6 +140,13 @@ SOLVE_FUSE = False
 SOLVE_DTYPE = jnp.bfloat16  # M planes + blur intermediate; final math fp32
 BLOCK_WARP_INTERPRET = False  # tests: run the Pallas kernel interpreted on CPU
 
+
+def _bw_interpret() -> bool:
+    """Pallas block-warp interpret flag at trace time: Mosaic only lowers on
+    TPU, so off-TPU (bench --cpu/--smoke, any CPU caller outside the test
+    suite's monkeypatch) the kernel must run interpreted."""
+    return BLOCK_WARP_INTERPRET or not _on_tpu()
+
 # Edge ramp (5 px) applied to the expansion coefficients near image borders
 # before the normal equations are accumulated, so border pixels contribute
 # less to the blurred G/h fields.
@@ -497,7 +504,7 @@ def _update_matrices_planes(R0p: jax.Array | None, R1pad: jax.Array,
             R0p, R1pad, up, vp, img_hw=img_hw, ramp=tuple(_BORDER_RAMP),
             block=BLOCK_WARP_BLOCK, slack=BLOCK_WARP_SLACK,
             pad=BLOCK_WARP_PAD, compute_dtype=BLOCK_WARP_DTYPE,
-            interpret=BLOCK_WARP_INTERPRET, realign=BLOCK_WARP_REALIGN,
+            interpret=_bw_interpret(), realign=BLOCK_WARP_REALIGN,
             phases=BLOCK_WARP_PHASES, out_dtype=SOLVE_DTYPE,
             select=BLOCK_WARP_SELECT, src_prestacked=src_prestacked,
             r0_from_src=r0_from_src, clip_shift=clip_shift,
@@ -513,7 +520,7 @@ def _update_matrices_planes(R0p: jax.Array | None, R1pad: jax.Array,
         R1pad, up, vp,
         block=BLOCK_WARP_BLOCK, slack=BLOCK_WARP_SLACK, pad=BLOCK_WARP_PAD,
         src_padded=True, compute_dtype=BLOCK_WARP_DTYPE,
-        interpret=BLOCK_WARP_INTERPRET, realign=BLOCK_WARP_REALIGN,
+        interpret=_bw_interpret(), realign=BLOCK_WARP_REALIGN,
         phases=BLOCK_WARP_PHASES, select=BLOCK_WARP_SELECT,
     )[..., :H, :W]
 
@@ -565,7 +572,7 @@ def _solve_flow_planes(M: jax.Array, winsize: int, gaussian: bool):
                          mode="edge")
         u, v = blur_solve_2x2(Mp, winsize=winsize, gaussian=gaussian,
                               block=(48, bw_),
-                              interpret=BLOCK_WARP_INTERPRET)
+                              interpret=_bw_interpret())
         return u[..., :H, :W], v[..., :H, :W]
     if gaussian:
         m = winsize // 2
