@@ -44,6 +44,13 @@ _EMBED_THRESHOLD_ELEMS = 256 * 1024
 # workaround).  Wide bands go literal: those matrices are small (coarse
 # levels), so the HLO growth is bounded (~3-7 MB each).
 _BANDED_MAX_BW = 48
+# Size ceiling on the wide-band literal fallback: above this the dense
+# literal itself becomes the serialized-HLO blowup (a 4096-col operator is
+# ~67 MB f32 — past the axon remote-compile request limit that caused the
+# round-2 HTTP-413 failures), so huge wide-band operators expand as summed
+# <=_BANDED_MAX_BW-wide placement passes instead (ADVICE r4).  1080p's
+# wide-band coarse operators (~1.5-7 MB) stay comfortably literal.
+_WIDE_LITERAL_MAX_ELEMS = 4 * 1024 * 1024
 
 
 def _compress_banded(M: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
@@ -95,10 +102,31 @@ def as_operator(M: np.ndarray) -> jax.Array:
     if M.ndim != 2 or M.size <= _EMBED_THRESHOLD_ELEMS:
         return jnp.asarray(M)
     packed = _compress_banded(M)
-    if packed is None or packed[1].shape[1] > _BANDED_MAX_BW:
+    if packed is None:
         return jnp.asarray(M)
     starts, band = packed
-    return materialize_banded(jnp.asarray(starts), jnp.asarray(band), M.shape[1])
+    bw = band.shape[1]
+    if bw <= _BANDED_MAX_BW:
+        return materialize_banded(jnp.asarray(starts), jnp.asarray(band),
+                                  M.shape[1])
+    if M.size <= _WIDE_LITERAL_MAX_ELEMS:
+        # r4: wide-band materialize sometimes executes its where-add chain
+        # unfused (~bw full-matrix passes — the coarse-level pathology);
+        # small-enough wide operators go literal instead
+        return jnp.asarray(M)
+    # huge wide-band operator (e.g. offline 4K stills): a dense literal
+    # would re-inflate the serialized HLO past the axon remote-compile
+    # request limit (the r2 HTTP-413 failure the compression exists to
+    # prevent) — expand as summed <=_BANDED_MAX_BW-wide placement passes.
+    # Exact: each pass places disjoint band columns, zeros add nothing.
+    # Slower than a literal at runtime, but it COMPILES (ADVICE r4).
+    out = None
+    for off in range(0, bw, _BANDED_MAX_BW):
+        chunk = np.ascontiguousarray(band[:, off : off + _BANDED_MAX_BW])
+        piece = materialize_banded(jnp.asarray(starts + np.int32(off)),
+                                   jnp.asarray(chunk), M.shape[1])
+        out = piece if out is None else out + piece
+    return out
 
 
 # --------------------------------------------------- row-block split matmuls

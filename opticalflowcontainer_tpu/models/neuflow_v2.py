@@ -336,6 +336,15 @@ def convert_neuflow_v2(state_dict: dict, model: NeuFlowV2 | None = None):
                 f"_GROUP_MAP — known: {sorted(_GROUP_MAP)}")
         groups.setdefault(dst, []).append((k, t2j(v)))
 
+    # tokens that carry no identity (every Conv has a 'kernel'/'weight');
+    # matching keys on them would make unrelated leaves look alike
+    _GENERIC = {"weight", "bias", "kernel", "scale", "params",
+                "running_mean", "running_var", "w", "b"}
+
+    def _tokens(s: str) -> set:
+        return {t for t in s.replace("'", ".").replace("[", ".")
+                .replace("]", ".").split(".") if t} - _GENERIC
+
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     out = {}
     for dst, items in groups.items():
@@ -348,11 +357,53 @@ def convert_neuflow_v2(state_dict: dict, model: NeuFlowV2 | None = None):
                 f"group '{dst}': checkpoint shapes {shapes_t} != model "
                 f"shapes {shapes_j}; fix _GROUP_MAP or the architecture "
                 f"dims in NeuFlowV2Config")
-        by_shape: dict[str, list[np.ndarray]] = {}
-        for _, a in items:
-            by_shape.setdefault(str(a.shape), []).append(a)
+        # bucket both sides by shape; a unique shape within the group is an
+        # unambiguous match, but same-shape tensors (q/k/v/proj Dense
+        # kernels, convz/convr/convq, Conv bias vs norm scale) MUST be
+        # resolved by name — torch state_dict order is module-definition
+        # order, not flax's alphabetical flatten order, so positional
+        # matching would silently scramble a real checkpoint (ADVICE r4)
+        t_by_shape: dict[str, list[tuple[str, np.ndarray]]] = {}
+        for k, a in items:
+            t_by_shape.setdefault(str(a.shape), []).append((k, a))
+        j_by_shape: dict[str, list[tuple[str, np.ndarray]]] = {}
         for path, a in leaves:
-            out[path] = by_shape[str(a.shape)].pop(0)
+            j_by_shape.setdefault(str(a.shape), []).append((path, a))
+        for shp, t_items in t_by_shape.items():
+            j_items = j_by_shape[shp]
+            if len(t_items) == 1:
+                out[j_items[0][0]] = t_items[0][1]
+                continue
+            def _leaf(s: str) -> str:
+                parts = [t for t in s.replace("'", ".").replace("[", ".")
+                         .replace("]", ".").split(".") if t]
+                return parts[-1] if parts else ""
+
+            # torch's generic leaf names map to several flax ones — use as a
+            # tiebreaker between same-module leaves (norm.scale vs norm.bias)
+            _LEAF_COMPAT = {"weight": {"kernel", "scale", "weight"},
+                            "w": {"kernel", "scale", "weight"}}
+
+            taken = set()
+            for k, a in t_items:
+                tk = _tokens(k) - {dst}
+                lk = _leaf(k)
+                ok_leaves = _LEAF_COMPAT.get(lk, {lk})
+                cands = [p for p, _ in j_items if p not in taken]
+                scores = {p: 2 * len(tk & _tokens(p))
+                          + (1 if _leaf(p) in ok_leaves else 0)
+                          for p in cands}
+                best = max(scores.values(), default=0)
+                hits = [p for p in cands if scores[p] == best]
+                if best == 0 or len(hits) != 1:
+                    raise ValueError(
+                        f"group '{dst}': {len(t_items)} checkpoint tensors "
+                        f"share shape {shp} and key '{k}' does not name-match"
+                        f" exactly one model leaf (candidates: {cands}); "
+                        f"refusing to match positionally — extend _GROUP_MAP "
+                        f"with per-leaf names for this module")
+                taken.add(hits[0])
+                out[hits[0]] = a
 
     def fill(path, leaf):
         return jnp.asarray(out[jax.tree_util.keystr(path)])

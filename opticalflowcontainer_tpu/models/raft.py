@@ -245,6 +245,14 @@ class _RAFTBase(nn.Module):
             pyr = pack_corr_pyramid(pyr, self.corr_radius)
         flow = jnp.zeros(f1.shape[:2] + (2,), jnp.float32)
 
+        if final_only and iters < 1:
+            # iters=0 is meaningful for the stacked contract (empty stack of
+            # refinements) but final_only has no "final" to return — the
+            # zero-init flow upsampled is the only defensible answer, and
+            # clearer than the flows[-1] IndexError at trace time (ADVICE r4)
+            return (_upsample8_bilinear(flow) if self.small
+                    else self._upsample_convex(flow, h))
+
         flows = []
         for it in range(iters):
             corr = corr_lookup(pyr, flow, self.corr_radius).astype(f1.dtype)

@@ -115,3 +115,25 @@ def test_row_block_split_matches_dense():
         np.testing.assert_array_equal(got, want)
     finally:
         bd.BANDED_SPLIT = "auto"
+
+
+def test_as_operator_huge_wide_band_chunks_exactly():
+    """A wide-band operator past _WIDE_LITERAL_MAX_ELEMS must NOT embed as a
+    dense literal (serialized-HLO blowup, r2 HTTP-413) — it expands as summed
+    <=48-wide placement passes, bit-identical to the dense original."""
+    import opticalflowcontainer_tpu.core.banded as bd
+
+    # wide band (bw=120 > _BANDED_MAX_BW) on a matrix forced over the size
+    # ceiling by shrinking the ceiling (a real >4M-elem case is slow in CI)
+    n = 900
+    k = (np.ones(111, np.float64) / 111).tobytes()
+    M = _border_conv_matrix(n, k, "replicate")
+    bw = _roundtrip(M)
+    assert bw > bd._BANDED_MAX_BW
+    old = bd._WIDE_LITERAL_MAX_ELEMS
+    bd._WIDE_LITERAL_MAX_ELEMS = n * n - 1
+    try:
+        out = np.asarray(as_operator(M))
+    finally:
+        bd._WIDE_LITERAL_MAX_ELEMS = old
+    np.testing.assert_array_equal(out, M)

@@ -76,6 +76,10 @@ def test_raft_small_forward(rng):
     # inference contract: final_only returns exactly the stacked [-1] flow
     last = model.apply(params, i1, i2, 2, final_only=True)
     np.testing.assert_array_equal(np.asarray(last), np.asarray(flows[-1]))
+    # final_only with iters=0 returns the upsampled zero-init flow instead
+    # of an IndexError at trace time (ADVICE r4)
+    zero = model.apply(params, i1, i2, 0, final_only=True)
+    np.testing.assert_array_equal(np.asarray(zero), 0.0)
 
 
 def test_neuflow_forward(rng):

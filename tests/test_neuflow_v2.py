@@ -57,14 +57,19 @@ def test_global_matching_recovers_shift():
     assert np.allclose(interior[..., 1], 0.0, atol=0.05)
 
 
-def test_converter_roundtrip(model_and_params):
-    torch = pytest.importorskip("torch")
-    m, p, _, _ = model_and_params
+def _to_state_dict(p, torch, scramble=False, anonymous=False):
+    """Build a torch-style state_dict from flax params.  Keys carry the flax
+    module path (the way a real checkpoint carries ITS module names) unless
+    ``anonymous``; ``scramble`` reverses iteration order to prove matching is
+    name-driven, not positional."""
     flat = jax.tree_util.tree_flatten_with_path(p)[0]
+    if scramble:
+        flat = flat[::-1]
     sd = {}
     for i, (path, a) in enumerate(flat):
-        ks = jax.tree_util.keystr(path)
-        top = ks.split("'")[3]
+        toks = [t for t in jax.tree_util.keystr(path).replace("'", ".")
+                .replace("[", ".").replace("]", ".").split(".")
+                if t and t != "params"]
         a = np.asarray(a)
         if a.ndim == 4:
             t = torch.tensor(np.transpose(a, (3, 2, 0, 1)))
@@ -72,11 +77,34 @@ def test_converter_roundtrip(model_and_params):
             t = torch.tensor(a.T)
         else:
             t = torch.tensor(a)
-        sd[f"{top}.m{i}.w"] = t
+        key = (f"{toks[0]}.m{i}.w" if anonymous else ".".join(toks))
+        sd[key] = t
+    return sd
+
+
+def test_converter_roundtrip(model_and_params):
+    """Scrambled (reverse-order) state_dict roundtrips exactly: same-shape
+    tensors within a group are matched by NAME, never by position — a real
+    torch state_dict iterates in module-definition order, not flax's
+    alphabetical flatten order (ADVICE r4)."""
+    torch = pytest.importorskip("torch")
+    m, p, _, _ = model_and_params
+    sd = _to_state_dict(p, torch, scramble=True)
     m2, p2 = convert_neuflow_v2(sd, m)
     mx = max(jax.tree_util.tree_leaves(jax.tree_util.tree_map(
         lambda x, y: float(jnp.abs(x - y).max()), p, p2)))
     assert mx == 0.0
+
+
+def test_converter_rejects_ambiguous_same_shape(model_and_params):
+    """Anonymous keys (no usable module names) over a group whose leaves
+    share shapes (cross_attn q/k/v/proj are all [C,C]) must raise, not
+    silently match positionally."""
+    torch = pytest.importorskip("torch")
+    m, p, _, _ = model_and_params
+    sd = _to_state_dict(p, torch, anonymous=True)
+    with pytest.raises(ValueError, match="refusing to match positionally"):
+        convert_neuflow_v2(sd, m)
 
 
 def test_converter_rejects_unknown_module(model_and_params):
