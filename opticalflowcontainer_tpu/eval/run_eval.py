@@ -45,6 +45,24 @@ def _learned_spec(name: str):
         from ..models.neuflow import estimate, load_neuflow_lite_synth
 
         return NeuFlowLite, load_neuflow_lite_synth, estimate, None, no_kw
+    if name == "neuflow_v2":
+        from ..models.neuflow_v2 import (
+            NeuFlowV2,
+            convert_neuflow_v2,
+            estimate,
+            load_neuflow_v2_synth,
+        )
+
+        def v2_kw(quick):
+            return {"iters_s8": 2 if quick else 8}
+
+        def v2_conv(sd):
+            import torch
+
+            return convert_neuflow_v2(
+                {k: torch.as_tensor(v) for k, v in sd.items()})[1]
+
+        return NeuFlowV2, load_neuflow_v2_synth, estimate, v2_conv, v2_kw
     if name == "pwcnet":
         from ..models import PWCNet
         from ..models.convert import convert_pwcnet
@@ -128,6 +146,8 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
             init_args = (img1[:64, :64], img2[:64, :64])
             if name in ("raft", "raft_large"):
                 init_args += (2,)
+            elif name == "neuflow_v2":
+                init_args += (1,)
             return model.init(jax.random.PRNGKey(0), *init_args)
 
         def flow_fn_p(params, i1, i2):

@@ -229,7 +229,8 @@ class NeuFlowV2(nn.Module):
     config: NeuFlowV2Config = NeuFlowV2Config()
 
     @nn.compact
-    def __call__(self, img1, img2, iters_s8: int | None = None):
+    def __call__(self, img1, img2, iters_s8: int | None = None,
+                 return_aux: bool = False):
         cfg = self.config
         backbone = BackboneV2(cfg.dim_s8, cfg.dim_s16, name="backbone")
         f1_8, f1_16 = backbone(img1 * 2.0 - 1.0)
@@ -259,7 +260,17 @@ class NeuFlowV2(nn.Module):
         for _ in range(n8):
             h8, flow8 = refine8(h8, f1_8, f2_8, flow8)
 
-        return ConvexUpsample(name="up")(flow8, h8)
+        up = ConvexUpsample(name="up")(flow8, h8)
+        if return_aux:
+            # auxiliary supervision target: the refined 1/16 matching flow
+            # upsampled to full resolution (full-res pixel units) — trains
+            # the cross-attention + global-matching stage directly instead
+            # of letting it hide behind the s8 refiner (same recipe that
+            # unblocked NeuFlowLite training, CLAUDE.md r2 s2)
+            H, W = img1.shape[0], img1.shape[1]
+            aux = resize_bilinear(flow16, (H, W), channel_last=True) * 16.0
+            return up, aux
+        return up
 
 
 def _pad_to(x: int, mult: int) -> int:
@@ -281,6 +292,17 @@ def estimate(model, params, img1, img2, iters_s8: int = 8):
     """Resize-to-16-multiple / forward / resize-back contract (one jitted
     program, params as jit args — never HLO literals)."""
     return _estimate(model, params, img1, img2, int(iters_s8))
+
+
+def load_neuflow_v2_synth():
+    """Load the packaged NeuFlow-v2 checkpoint (TPU-trained on the synthetic
+    affine recipe, tools/train_flow.py --model neuflow_v2 — the in-sandbox
+    weights story; the reference downloads the authors' HF checkpoint at
+    runtime, neuflow_node.py:38, which this sandbox cannot).  Returns
+    (model, params) or None when absent."""
+    from .raft import _load_weights_npz
+
+    return _load_weights_npz("neuflow_v2_synth.npz", NeuFlowV2())
 
 
 # ------------------------------------------------------------- converter

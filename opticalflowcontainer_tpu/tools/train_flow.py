@@ -167,13 +167,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="raft_small",
                     choices=("raft_small", "raft_large", "neuflow_lite",
-                             "pwcnet", "liteflownet3", "liteflownet"))
+                             "neuflow_v2", "pwcnet", "liteflownet3",
+                             "liteflownet"))
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--height", type=int, default=96)
     ap.add_argument("--width", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8,
-                    help="GRU iterations (raft_small only)")
+                    help="refinement iterations (RAFT GRU iters; "
+                         "NeuFlow-v2 s8 refinement iters)")
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--warmup", type=int, default=200)
     ap.add_argument("--seed", type=int, default=1000)
@@ -295,17 +297,30 @@ def main(argv=None):
             params = optax.apply_updates(s.params, updates)
             return TrainState(params, opt_state, s.step + 1), loss
     else:
-        from ..models import NeuFlowLite
+        if name == "neuflow_v2":
+            from ..models.neuflow_v2 import NeuFlowV2
 
-        model = NeuFlowLite()
-        init = lambda key: model.init(key, i0, i0)
+            model = NeuFlowV2()
+            init = lambda key: model.init(key, i0, i0, 1)
+
+            def apply_aux(params, i1, i2):
+                return model.apply(params, i1, i2, args.iters,
+                                   return_aux=True)
+        else:
+            from ..models import NeuFlowLite
+
+            model = NeuFlowLite()
+            init = lambda key: model.init(key, i0, i0)
+
+            def apply_aux(params, i1, i2):
+                return model.apply(params, i1, i2, return_aux=True)
 
         def step_body(s, b):
             # final + auxiliary (pre-refinement global-matching) L1 loss, so
             # the matching stage learns instead of hiding behind the refiner
             def loss_fn(params):
                 def one(i1, i2, gt):
-                    out_f, aux = model.apply(params, i1, i2, return_aux=True)
+                    out_f, aux = apply_aux(params, i1, i2)
                     return (jnp.abs(out_f - gt).mean()
                             + 0.3 * jnp.abs(aux - gt).mean())
 
