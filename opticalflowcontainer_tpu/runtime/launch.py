@@ -57,3 +57,62 @@ def bringup_junction(
         backend, params or NodeParams(name="JUNCTION", aggregate="median"), bus
     ).attach(direct=direct)
     return bus, node, detector
+
+
+def bringup_junction_remote(
+    bus: Bus | None = None,
+    backend=None,
+    params: NodeParams | None = None,
+    grid_area: float = 200.0,
+    force_python_detector: bool = False,
+    spawn: bool = True,
+    ready_timeout: float = 60.0,
+):
+    """Junction-masked pipeline with the detector in its OWN OS process,
+    composed over the TCP bus bridge — the reference's actual process split
+    (bringup.launch.py:13-38 launches the C++ `junction_point_detector`
+    process next to the Python flow node over DDS; here
+    :mod:`.detector_process` plays the detector process and
+    :mod:`.remote_bus` plays DDS).
+
+    Returns ``(bus, node, server, child)``; ``child`` is the detector
+    ``subprocess.Popen`` (``None`` with ``spawn=False`` — then connect your
+    own ``python -m ...runtime.detector_process --port server.port``).
+    Close with ``child.stdin.close(); child.wait(); server.close()``.
+    """
+    import subprocess
+    import sys
+
+    from .remote_bus import BusBridgeServer
+
+    bus = bus or Bus()
+    backend = backend or make_farneback_backend(levels=2, winsize=13, iterations=2)
+    node = JunctionMaskFlowNode(
+        backend, params or NodeParams(name="JUNCTION", aggregate="median"), bus
+    ).attach(direct=True)
+    server = BusBridgeServer(
+        bus, port=0, forward_topics=["/camera/color/image_raw"]
+    )
+    child = None
+    if spawn:
+        cmd = [sys.executable, "-m",
+               "opticalflowcontainer_tpu.runtime.detector_process",
+               "--port", str(server.port), "--grid-area", str(grid_area)]
+        if force_python_detector:
+            cmd.append("--force-python")
+        child = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True)
+        import threading
+
+        got: list[str] = []
+        reader = threading.Thread(
+            target=lambda: got.append(child.stdout.readline().strip()),
+            daemon=True)
+        reader.start()
+        reader.join(ready_timeout)
+        if not got or got[0] != "READY":
+            child.kill()
+            raise RuntimeError(
+                "detector process failed to start "
+                f"(got {got[0] if got else 'timeout'!r})")
+    return bus, node, server, child

@@ -279,6 +279,13 @@ class BusBridgeClient(_BridgeBase):
                  forward_topics: list[str] | None = None):
         super().__init__(bus, forward_topics or [])
         sock = socket.create_connection((host, port), timeout=10)
+        # create_connection's timeout also persists as the OPERATION timeout:
+        # a bridge idle >10 s would raise socket.timeout in the pump's recv
+        # and silently kill the peer (found by the cross-process junction
+        # test: a >10 s jit warm-up between connect and first publish left
+        # the bridge permanently deaf).  Connect bounded; steady-state
+        # blocking.
+        sock.settimeout(None)
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         with self._peers_lock:
             self._peers.append(sock)

@@ -199,6 +199,12 @@ def main(argv=None):
                          "plateau from scratch — teacher fields are "
                          "smoother/achievable regression targets); "
                          "fine-tune on GT afterwards with --resume")
+    ap.add_argument("--motion-mix", action="store_true",
+                    help="interleave easy/hard motion regimes per batch "
+                         "(50%% eval-easy <=4 px/2deg/2%% zoom, 50%% full "
+                         "range) — the single-recipe 240x320 fine-tune "
+                         "overfit LFN3 to large motion, trading fishnet-easy "
+                         "0.730 -> 1.05 for hard 20 -> 12 (VERDICT r4 item 4)")
     ap.add_argument("--mesh-prob", type=float, default=0.0,
                     help="probability of overlaying a procedural fishnet "
                          "mesh on each training texture (deployment-domain "
@@ -375,6 +381,11 @@ def main(argv=None):
             f = min(step / max(args.steps * 0.6, 1.0), 1.0)
             mkw = dict(max_t=2.0 + 14.0 * f, max_angle=1.0 + 7.0 * f,
                        scales=(1.0 - 0.08 * f, 1.0 + 0.1 * f))
+        elif args.motion_mix and step % 2 == 0:
+            # even steps: the eval-easy regime (run_eval --fishnet easy:
+            # <=4 px translation, +/-2deg, +/-2% zoom) so fine-tuning keeps
+            # small-motion accuracy while odd steps train the full range
+            mkw = dict(max_t=4.0, max_angle=2.0, scales=(0.98, 1.02))
         else:
             mkw = {}
         batch = make_affine_batch(rng, args.batch, args.height, args.width,

@@ -77,3 +77,51 @@ def test_lk_velocity_node_tracks_translation(rng):
         )
     assert len(vels) >= 2
     assert abs(np.mean(vels) - 2.0) < 0.3, vels
+
+
+def test_bringup_junction_remote_cross_process():
+    """The reference's actual process composition: junction detector in its
+    OWN OS process (detector_process.py) talking to the flow node over the
+    TCP bus bridge (remote_bus ~= DDS) — the process-isolation fault
+    boundary of SURVEY §2.3/§5 exercised for real (VERDICT r4 item 7)."""
+    import time
+
+    from opticalflowcontainer_tpu.runtime.launch import bringup_junction_remote
+    from opticalflowcontainer_tpu.runtime.messages import Header, ImageMsg
+
+    bus, node, server, child = bringup_junction_remote(
+        grid_area=22.0 * 22.0, force_python_detector=True
+    )
+    try:
+        node.vel.pixel_to_meter = 1.0  # px/frame units
+        vels = []
+        masks = []
+        bus.subscribe("/optical_flow/JUNCTION_velocity",
+                      lambda m: vels.append(m.x))
+        bus.subscribe("/junction_detector/junctions",
+                      lambda m: masks.append(len(m.points)))
+        # warm the jit so every frame processes
+        node.backend(
+            _fishnet_frame(0).mean(-1).astype(np.float32),
+            _fishnet_frame(2).mean(-1).astype(np.float32),
+            0.1,
+        )
+        deadline = time.time() + 60.0
+        f = 0
+        while len(vels) < 3 and time.time() < deadline:
+            bus.publish(
+                "/camera/color/image_raw",
+                ImageMsg(Header(float(f)), _fishnet_frame((f % 6) * 2)),
+            )
+            f += 1
+            time.sleep(0.25)  # image -> TCP -> detect -> TCP -> sync join
+        assert masks, "no junction clouds arrived from the detector process"
+        assert len(vels) >= 3, f"only {len(vels)} masked velocities after {f} frames"
+        assert abs(np.mean(vels[1:]) - 2.0) < 0.3
+    finally:
+        try:
+            child.stdin.close()
+            child.wait(timeout=10)
+        except Exception:
+            child.kill()
+        server.close()
