@@ -102,19 +102,30 @@ def _block_bases(u, v, block, slack, pad, Hp, Wp, phases=1):
     return y0, x0
 
 
+# 4x4 middle selection tier for span<=2 blocks (A/B flag; the 3x3 tier is
+# always on).  Only affects rotation/zoom-dominant content — pure
+# translation lands in tier 1, per-pixel-random in tier 0.
+FAST_TIER_SPAN2 = True
+
+
 def _block_fastq(u, v, y0, x0, block, slack, pad):
-    """Per-block fast-path descriptor for the 9-tap selection tier, packed
-    into one int32 [B, nby, nbx]: ``fast << 16 | qyc << 8 | qxc``.
+    """Per-block selection-tier descriptor, packed into one int32
+    [B, nby, nbx]: ``tier << 16 | qyc << 8 | qxc``.
 
     Computes each pixel's selection indices (qy, qx) EXACTLY as the kernel
-    does (same clips, relative to the same unquantized origins) and flags
-    blocks whose indices span <= 1 in both axes — translation/slow-pan
-    content, where bilinear needs only the 3x3 tap window starting at
-    (qyc, qxc) = (min qy, min qx).  The kernel folds (qyc, qxc) into its
-    realign offsets and runs 9 selection FMAs instead of (2*slack+2)^2 = 36;
-    the skipped taps have exactly-zero weights, so fast-path results are
-    BIT-IDENTICAL to the full path (adding 0.0-weighted products of finite
-    values is an exact no-op)."""
+    does (same clips, relative to the same unquantized origins) and tiers
+    blocks by their index span:
+
+    - tier 1 (span <= 1 both axes — translation/slow pan): bilinear needs
+      only the 3x3 tap window starting at (qyc, qxc) = (min qy, min qx);
+    - tier 2 (span <= 2 both axes — moderate rotation/zoom, slack >= 2
+      only): the 4x4 window suffices, 16 FMAs vs the full 36;
+    - tier 0: full (2*slack+2)^2 sweep.
+
+    The kernel folds (qyc, qxc) into its realign offsets and sweeps only the
+    tier's window; the skipped taps have exactly-zero weights, so tiered
+    results are BIT-IDENTICAL to the full path (adding 0.0-weighted products
+    of finite values is an exact no-op)."""
     bh, bw = block
     pad_y, pad_x = (pad, pad) if isinstance(pad, int) else pad
     B, H, W = u.shape
@@ -138,10 +149,16 @@ def _block_fastq(u, v, y0, x0, block, slack, pad):
     ox = gx + pad_x - x0
     qy_min, qy_max = fy_min + oy, fy_max + oy
     qx_min, qx_max = fx_min + ox, fx_max + ox
-    fast = ((qy_max - qy_min <= 1) & (qx_max - qx_min <= 1)
-            & (qy_min >= 0) & (qy_max <= 2 * slack)
-            & (qx_min >= 0) & (qx_max <= 2 * slack)).astype(jnp.int32)
-    return (fast << 16) | (jnp.clip(qy_min, 0, 2 * slack) << 8) \
+    inb = ((qy_min >= 0) & (qy_max <= 2 * slack)
+           & (qx_min >= 0) & (qx_max <= 2 * slack))
+    span1 = (qy_max - qy_min <= 1) & (qx_max - qx_min <= 1)
+    span2 = (qy_max - qy_min <= 2) & (qx_max - qx_min <= 2)
+    tier = jnp.where(span1 & inb, 1,
+                     jnp.where(span2 & inb, 2, 0)).astype(jnp.int32)
+    if slack < 2 or not FAST_TIER_SPAN2:
+        # full sweep is (2*slack+2)^2 = 16 at slack 1 — tier 2 saves nothing
+        tier = jnp.where(tier == 2, 0, tier)
+    return (tier << 16) | (jnp.clip(qy_min, 0, 2 * slack) << 8) \
         | jnp.clip(qx_min, 0, 2 * slack)
 
 
@@ -284,9 +301,9 @@ def _warp_block_core(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch,
     # rotate runs on the f32 result of the sublane matmul.
     p = patch[slot]
     C = p.shape[0]
-    yrem = y0 - y0q + jnp.where(fastv == 1, qyc, 0)
+    yrem = y0 - y0q + jnp.where(fastv >= 1, qyc, 0)
     xrem = (jax.lax.rem(x0, qx_unit)  # offset of x0 within its phase copy
-            + jnp.where(fastv == 1, qxc, 0))
+            + jnp.where(fastv >= 1, qxc, 0))
     r_ = jax.lax.broadcasted_iota(jnp.int32, (rh, ph), 0)
     s_ = jax.lax.broadcasted_iota(jnp.int32, (rh, ph), 1)
     Ty = ((r_ + yrem) % ph == s_).astype(jnp.bfloat16)
@@ -360,13 +377,19 @@ def _warp_block_core(x0_ref, y0_ref, fq_ref, src_ref, u_ref, v_ref, patch,
         return acc
 
     if slack >= 1:
-        # branched selection: the 3x3 fast tier covers blocks whose
-        # selection indices span <= 1 (prepass flag); results are
+        # branched selection tiers (prepass flag): 3x3 for span<=1 blocks,
+        # 4x4 for span<=2 (slack>=2 only), full sweep otherwise — all
         # bit-identical to the full sweep (skipped taps weigh exactly 0.0)
         @pl.when(fastv == 1)
         def _fast():
             emit(select_taps(qy - qyc, qx - qxc, 3),
                  u, v, xf, yf, il, jl, i, j)
+
+        if slack >= 2:
+            @pl.when(fastv == 2)
+            def _mid():
+                emit(select_taps(qy - qyc, qx - qxc, 4),
+                     u, v, xf, yf, il, jl, i, j)
 
         @pl.when(fastv == 0)
         def _slow():

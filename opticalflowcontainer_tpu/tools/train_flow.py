@@ -199,6 +199,14 @@ def main(argv=None):
                          "plateau from scratch — teacher fields are "
                          "smoother/achievable regression targets); "
                          "fine-tune on GT afterwards with --resume")
+    ap.add_argument("--init-extractor", default=None, metavar="NPZ",
+                    help="pwcnet only: graft a feature-distilled extractor "
+                         "(tools/pwc_distill_extractor.py) over the fresh "
+                         "init before training — stage B of the LFN3-trunk "
+                         "bootstrap (VERDICT r4 item 8)")
+    ap.add_argument("--freeze-extractor", action="store_true",
+                    help="pwcnet only: zero the extractor's gradients so "
+                         "stage-B training moves only decoders/refiner")
     ap.add_argument("--motion-mix", action="store_true",
                     help="interleave easy/hard motion regimes per batch "
                          "(50%% eval-easy <=4 px/2deg/2%% zoom, 50%% full "
@@ -299,6 +307,11 @@ def main(argv=None):
                 return jnp.mean(jax.vmap(one)(b["img1"], b["img2"], b["flow"]))
 
             loss, grads = jax.value_and_grad(loss_fn)(s.params)
+            if args.freeze_extractor and "extractor" in grads.get("params", {}):
+                grads = dict(grads)
+                grads["params"] = dict(grads["params"])
+                grads["params"]["extractor"] = jax.tree_util.tree_map(
+                    jnp.zeros_like, grads["params"]["extractor"])
             updates, opt_state = tx.update(grads, s.opt_state, s.params)
             params = optax.apply_updates(s.params, updates)
             return TrainState(params, opt_state, s.step + 1), loss
@@ -366,6 +379,24 @@ def main(argv=None):
         print(f"resumed params from {out}")
     else:
         params = init(jax.random.PRNGKey(args.seed))
+    if args.init_extractor:
+        if name != "pwcnet":
+            raise SystemExit("--init-extractor is a pwcnet stage-B option")
+        from flax.traverse_util import unflatten_dict
+
+        data = np.load(args.init_extractor)
+        ext = unflatten_dict(
+            {tuple(k.split("/")): data[k] for k in data.files})
+        got = {k: v.shape for k, v in flatten_dict(ext).items()}
+        want = {k: v.shape
+                for k, v in flatten_dict(params["params"]["extractor"]).items()}
+        if got != want:
+            raise SystemExit(
+                f"--init-extractor shape mismatch: {got} != {want}")
+        params = dict(params)
+        params["params"] = dict(params["params"], extractor=jax.tree_util
+                                .tree_map(jnp.asarray, ext))
+        print(f"grafted distilled extractor from {args.init_extractor}")
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
     step_fn = jax.jit(step_body)

@@ -307,3 +307,40 @@ def test_farneback_clip_finest_only_share_matches_pairwise(rng, monkeypatch):
     pair = np.asarray(fb.farneback_batched(fj[:-1], fj[1:], **kw))
     d = np.linalg.norm(clip - pair, axis=-1)
     assert d.mean() < 1e-3 and d.max() < 0.02, (d.mean(), d.max())
+
+
+def test_span2_tier_bit_identical_and_triggered(rng):
+    """The 4x4 middle selection tier (span <= 2 blocks — moderate
+    rotation/zoom) must be bit-identical to the full sweep AND actually
+    fire on a rotation-like flow (r5: VERDICT item 6's costed lever)."""
+    from opticalflowcontainer_tpu.ops import blockwarp as bw
+
+    B, C, H, W = 1, 5, 48, 256
+    block, slack, pad, phases = (16, 128), 2, (40, 192), 1
+    src = rng.normal(size=(B, C, H, W)).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    # small rotation about the center: |flow| varies ~2 px within a
+    # 16x128 block -> span-2 selection indices, too wide for the 3x3 tier
+    th = 0.015
+    cu = ((np.cos(th) - 1) * (xx - W / 2) - np.sin(th) * (yy - H / 2))
+    cv = (np.sin(th) * (xx - W / 2) + (np.cos(th) - 1) * (yy - H / 2))
+    u = np.repeat(cu[None], B, 0).astype(np.float32)
+    v = np.repeat(cv[None], B, 0).astype(np.float32)
+
+    # the prepass must produce some tier-2 blocks for this flow
+    bh, bwid, pad_y, pad_x, ph, pw = bw._geometry(block, slack, pad, phases)
+    Hp = ((H + 2 * pad_y + 7) // 8) * 8
+    Wp = ((W + 2 * pad_x + 127) // 128) * 128
+    y0, x0 = bw._block_bases(jnp.asarray(u), jnp.asarray(v), block, slack,
+                             (pad_y, pad_x), Hp, Wp, phases)
+    fq = np.asarray(bw._block_fastq(jnp.asarray(u), jnp.asarray(v), y0, x0,
+                                    block, slack, (pad_y, pad_x)))
+    tiers = fq >> 16
+    assert (tiers == 2).any(), f"tier-2 never fired: {np.unique(tiers)}"
+
+    ref = np.asarray(block_warp_bilinear_reference(
+        jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), phases=phases))
+    ker = np.asarray(block_warp_bilinear(
+        jnp.asarray(src), jnp.asarray(u), jnp.asarray(v), interpret=True,
+        block=block, slack=slack, pad=pad, phases=phases))
+    np.testing.assert_allclose(ker, ref, atol=1e-5)
