@@ -134,20 +134,26 @@ def estimate(model: PWCNet, params, img1: jax.Array, img2: jax.Array) -> jax.Arr
 
 
 def load_pwcnet_synth():
-    """RETIRED — returns None (no packaged PWC weights ship).
+    """Packaged PWC weights: the round-5 LFN3-trunk bootstrap (best
+    in-sandbox result; honest framing below — the parity-proven converter
+    remains PWC's quality path).
 
-    Unlike RAFT/NeuFlowLite/LFN/LFN3, from-scratch PWC never reached a
+    From-scratch, unlike RAFT/NeuFlowLite/LFN/LFN3, PWC never reached a
     useful accuracy within this sandbox's training horizon: flat loss over
     8k steps after fixing the norm-free extractor's init-scale collapse
     (train_flow._kaiming_rescale), easy EPE stuck at ~2.6 px after 24k
     curriculum steps, and an 8k-step RAFT-large-teacher distillation run
     (tools/train_flow.py --distill raft_large, round 3) landed at the SAME
     2.63 px — the pure direct-regression pyramid is the bottleneck, not the
-    labels (the original trains ~1.2M iterations).  Rather than ship a
-    misleading checkpoint, PWC is converter-only: the parity-proven
-    convert.convert_pwcnet loads the reference's sniklaus checkpoint
-    (reference pwc_net.py:219).  Kept as a loader so callers can drop a
-    future npz in without code changes."""
+    labels (the original trains ~1.2M iterations).  The round-5 two-stage
+    bootstrap broke the plateau: tools/pwc_distill_extractor.py distills
+    the trained LFN3 trunk into PWC's extractor through per-level 1x1
+    adapters (feature MSE 0.21), then train_flow --init-extractor
+    --freeze-extractor runs 8k decoder-only steps.  Result: synthetic easy
+    EPE 2.63 -> 1.52, fishnet 640x480 easy 2.99 / hard 16.1 — runnable,
+    but still far from a real converted checkpoint, so the parity-proven
+    convert.convert_pwcnet (reference pwc_net.py:219) stays the quality
+    path for real deployments."""
     from .raft import _load_weights_npz
 
     return _load_weights_npz("pwcnet_synth.npz", PWCNet())
