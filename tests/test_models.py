@@ -265,6 +265,10 @@ def test_cast_params_bf16_conv(rng):
     ("neuflow", "load_neuflow_lite_synth", 1.2),
     ("liteflownet3", "load_liteflownet3_synth", 1.2),
     ("liteflownet", "load_liteflownet_synth", 1.2),
+    ("neuflow_v2", "load_neuflow_v2_synth", 1.2),
+    # PWC's bootstrap weights are the weakest in the zoo (direct-regression
+    # pyramid, decoder-only training): u err ~1.0 px on this probe.
+    ("pwcnet", "load_pwcnet_synth", 2.0),
 ])
 def test_packaged_weights_recover_translation(mod_name, loader_name, tol, rng):
     """The shipped TPU-trained checkpoints must load against the current
