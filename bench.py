@@ -559,24 +559,29 @@ def _bench_main(argv=None):
         frames_np = [np.ascontiguousarray(base_m[s, 4 : 4 + Hm,
                                                  4 + i : 4 + i + Wm])
                      for s in range(2) for i in range(-2, 2)]
-        # warm-up OUTSIDE the window: the first batches compile the seed +
-        # steady programs (20-300 s remote) — timing them would swamp the
-        # measurement window with compile time
-        for wk in range(3):
-            for s in range(2):
-                msf2.push_frame(s, frames_np[s * 4 + wk % 4], wk / 60.0)
-            time.sleep(0.05)
+        # warm-up OUTSIDE the window, and keep feeding until the STEADY
+        # program has actually emitted fields — waiting on batches alone is
+        # not enough: the steady-state compile (20-300 s remote) can land
+        # inside the measurement window and the window records 0 fields
+        # (BENCH_r05 session run: 0 fields / 36.5 s with 2 warm batches).
+        # Frames pushed during a compile are dropped by the bounded queues,
+        # so the warm-up must keep pushing, not just sleep.
+        t = 0.0
+        wk = 0
         t_wait = time.time()
-        while msf2.batches < 2 and time.time() - t_wait < 600.0:
-            time.sleep(0.2)
+        while ((msf2.fields < 2 or msf2.batches < 2)
+               and time.time() - t_wait < 600.0):
+            for s in range(2):
+                msf2.push_frame(s, frames_np[s * 4 + wk % 4], t)
+            t += 1.0 / 60.0
+            wk += 1
+            time.sleep(0.05)
         dur = 2.0 if args.smoke else (30.0 if not args.quick else 8.0)
         t_start_ms = time.time()
         fields0 = msf2.fields
-        # continue stamps AFTER the warm-up's (warm-up reached 2/60): a
-        # restart at 0.0 makes the boundary pair's dt negative -> one
-        # clamped-dt velocity spike on the bus
-        t = 3.0 / 60.0
-        k = 0
+        # continue stamps AFTER the warm-up's: a restart at 0.0 makes the
+        # boundary pair's dt negative -> one clamped-dt velocity spike
+        k = wk
         while time.time() < t_start_ms + dur:
             for s in range(2):
                 msf2.push_frame(s, frames_np[s * 4 + k % 4], t)
@@ -695,13 +700,24 @@ def _bench_main(argv=None):
                                           n_frames=n, sync_every=2,
                                           drain_async=True, stream=stream)
             if not lat3["held_rate"] and not args.quick:
-                lat3b = measure_stream_latency(height=lh, width=lw,
-                                               fps=30.0, n_frames=n,
-                                               sync_every=2,
-                                               drain_async=True,
-                                               stream=stream)
-                if lat3b["sustained_fps"] > lat3["sustained_fps"]:
-                    lat3 = lat3b
+                # Escalate to chunked streaming like the classical leg:
+                # LFN3's fused step is ~9.7 ms device, so at sync_every=2
+                # the amortized ~25-45 ms/frame tunnel RTT + device time
+                # overruns the 33 ms camera period and the backlog check
+                # (held's `diverged`) fails even at sustained 29.8 fps
+                # (BENCH_r05 session run).  chunk=4 amortizes the
+                # per-execution cost 4x (FusedModelStream.step_many).
+                for ch in (4, 8):
+                    lat3c = measure_stream_latency(height=lh, width=lw,
+                                                   fps=30.0, n_frames=n,
+                                                   sync_every=1, chunk=ch,
+                                                   drain_async=False,
+                                                   stream=stream)
+                    if (lat3c["held_rate"]
+                            or lat3c["sustained_fps"] > lat3["sustained_fps"]):
+                        lat3 = lat3c
+                    if lat3["held_rate"]:
+                        break
 
             # pure device time of the fused LFN3 step via scan chain
             l_reps = 2 if args.smoke else (8 if args.quick else 24)
@@ -722,6 +738,8 @@ def _bench_main(argv=None):
             record["lfn3_stream_sustained_fps"] = round(lat3["sustained_fps"], 1)
             record["lfn3_stream_p50_latency_ms"] = round(lat3["p50_ms"], 2)
             record["lfn3_stream_held_30fps"] = lat3["held_rate"]
+            record["lfn3_stream_sync_every"] = lat3["sync_every"]
+            record["lfn3_stream_chunk"] = lat3.get("chunk", 1)
             record["lfn3_device_ms_per_frame"] = round(t_l / l_reps * 1000, 2)
             _save_last_good(partial=True)
             if not args.json_only:

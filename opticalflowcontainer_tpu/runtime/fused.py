@@ -229,6 +229,26 @@ class FusedModelStream:
             return f, du
 
         self._step_fn = _step
+
+        # chunked program: K frames -> [K] displacement scalars as ONE
+        # device program (lax.scan carrying the previous normalized frame)
+        # — the same tunnel-degradation countermeasure as
+        # FusedFarnebackStream.step_many.  params ride as a jit ARG (not a
+        # closure constant) so the serialized HLO stays small for the
+        # remote compiler (round-2 session-5 lesson).
+        @functools.partial(jax.jit, static_argnames=("masked",))
+        def _chunk(params, prev_rgb, frames, mask, masked):
+            def body(prev, frame):
+                f = frame.astype(jnp.float32) * (1.0 / 255.0)
+                if bgr_to_rgb:
+                    f = f[..., ::-1]
+                flow = estimate_fn(model, params, prev, f)
+                return f, _aggregate_u(flow[..., 0], mask, aggregate, masked)
+
+            return jax.lax.scan(body, prev_rgb, frames)
+
+        self._params = params
+        self._chunk_fn = _chunk
         self._prep = jax.jit(
             lambda frame: (frame.astype(jnp.float32) * (1.0 / 255.0))[..., ::-1]
             if bgr_to_rgb
@@ -252,6 +272,17 @@ class FusedModelStream:
         m = jnp.zeros((), bool) if mask is None else jnp.asarray(mask, bool)
         self._rgb, du = self._step_fn(self._rgb, frame, m, mask is not None)
         return du
+
+    def step_many(self, frames: np.ndarray, mask: np.ndarray | None = None):
+        """Chunked step: ``frames`` [K, H, W, 3] -> [K] displacement scalars
+        as ONE device program (see :meth:`FusedFarnebackStream.step_many`)."""
+        assert self._rgb is not None, (
+            "seed the stream with step(first_frame) before step_many")
+        frames = jnp.asarray(frames)
+        m = jnp.zeros((), bool) if mask is None else jnp.asarray(mask, bool)
+        self._rgb, dus = self._chunk_fn(
+            self._params, self._rgb, frames, m, mask is not None)
+        return dus
 
 
 def make_fused_model_backend(model, params, estimate_fn,

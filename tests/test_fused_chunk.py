@@ -50,3 +50,37 @@ def test_measure_stream_latency_chunk_mode(force_planes_path):
                                     levels=2, winsize=9, iterations=1)
     assert lat["chunk"] == 4
     assert lat["n_measured"] == 8  # two full chunks; the 9th frame is tail
+
+
+def test_model_stream_step_many_matches_sequential():
+    """FusedModelStream.step_many (the LFN3 chunk escalation in bench.py's
+    stream leg) must equal the per-frame step exactly — same program body
+    under lax.scan, carrying the previous normalized frame."""
+    import jax.numpy as jnp
+
+    from opticalflowcontainer_tpu.models.liteflownet3 import (
+        LiteFlowNet3,
+        estimate,
+    )
+
+    rng = np.random.default_rng(1)
+    H, W = 64, 96
+    model = LiteFlowNet3()
+    params = model.init(
+        __import__("jax").random.PRNGKey(0),
+        jnp.zeros((H, W, 3)), jnp.zeros((H, W, 3)))
+    base = rng.uniform(0, 255, (H, W + 10, 3)).astype(np.uint8)
+    frames = [np.ascontiguousarray(base[:, i : i + W]) for i in range(6)]
+
+    s1 = fz.FusedModelStream(model, params, estimate, bgr_to_rgb=True)
+    s1.step(frames[0])
+    seq = [float(s1.step(f)) for f in frames[1:6]]
+
+    s2 = fz.FusedModelStream(model, params, estimate, bgr_to_rgb=True)
+    s2.step(frames[0])
+    with pytest.raises(AssertionError, match="seed the stream"):
+        fz.FusedModelStream(model, params, estimate).step_many(
+            np.stack(frames[1:3]))
+    chunked = list(np.asarray(s2.step_many(np.stack(frames[1:4])))) + list(
+        np.asarray(s2.step_many(np.stack(frames[4:6]))))
+    assert np.allclose(seq, chunked, atol=1e-5)
