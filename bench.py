@@ -199,7 +199,8 @@ def _bench_main(argv=None):
     # clip 3.16 vs pair 3.77 ms/field at T=5 (2026-08-17); T=7 2.42 vs T=5
     # 2.55 vs T=9 2.51 (r4 probe, 128-rep chains, 3 rounds) — more interior
     # frames amortize the endpoint expansions, T=9 gives it back to source-
-    # size superlinearity.  --batch N selects the independent-pairs mode.
+    # size superlinearity.  Re-confirmed r5 with the split matmuls in:
+    # T=7 1.972 vs T=9 2.089.  --batch N selects the independent-pairs mode.
     if args.clip is None and args.batch is None:
         args.clip = 7
     if args.clip is not None and args.clip < 2:

@@ -107,6 +107,9 @@ def share_mode(height: int, width: int) -> str:
     expression lives; runtime.fused and runtime.multistream call this."""
     return "all" if height * width <= CLIP_SHARE_ALL_MAX_PIXELS else "finest"
 BLOCK_WARP_REALIGN = "roll"  # patch realign: "roll" (lane rotates) | "matmul"
+# r5 composed-clip A/B (720p T=7, interleaved): roll 1.976 / matmul 2.121 /
+# none (numerically wrong floor) 1.909 ms/field — realign is now only
+# ~0.067 ms/field over the floor; no further headroom worth chasing here.
 BLOCK_WARP_PHASES = 2  # 64-lane-shifted source copies: narrower patches
 # Tap selection form inside the warp kernel ("slice" | "roll"); measured
 # 720p B=8 full pipeline: slice 37.3 ms, roll 23.0 ms (update stage 10.5 vs

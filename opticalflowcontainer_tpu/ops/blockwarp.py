@@ -105,6 +105,9 @@ def _block_bases(u, v, block, slack, pad, Hp, Wp, phases=1):
 # 4x4 middle selection tier for span<=2 blocks (A/B flag; the 3x3 tier is
 # always on).  Only affects rotation/zoom-dominant content — pure
 # translation lands in tier 1, per-pixel-random in tier 0.
+# Measured NEUTRAL (r5 probe, interleaved, 720p clip on 0.8 deg/frame
+# rotation content: 2.100 on vs 2.102 off ms/field, identical checksums) —
+# kept as free insurance for content between the 9-tap and 36-tap tiers.
 FAST_TIER_SPAN2 = True
 
 
