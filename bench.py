@@ -708,7 +708,11 @@ def _bench_main(argv=None):
                 # (held's `diverged`) fails even at sustained 29.8 fps
                 # (BENCH_r05 session run).  chunk=4 amortizes the
                 # per-execution cost 4x (FusedModelStream.step_many).
-                for ch in (4, 8):
+                # chunk=16 rung: in a BADLY degraded window (this session's
+                # second run: classical needed chunk=4, LFN3 p50 4 s) the
+                # ~600-900 ms per-execution cost needs >8 frames to amortize
+                # under the 33 ms camera period.
+                for ch in (4, 8, 16):
                     lat3c = measure_stream_latency(height=lh, width=lw,
                                                    fps=30.0, n_frames=n,
                                                    sync_every=1, chunk=ch,
