@@ -84,7 +84,8 @@ def _learned_spec(name: str):
     return None
 
 
-def _make_method(name: str, ckpt: str | None, quick: bool):
+def _make_method(name: str, ckpt: str | None, quick: bool,
+                 bf16: bool = False):
     import numpy as np
 
     npz = _npz_params(ckpt) if (ckpt and ckpt.endswith(".npz")) else None
@@ -153,11 +154,21 @@ def _make_method(name: str, ckpt: str | None, quick: bool):
         def flow_fn_p(params, i1, i2):
             if to_bgr:
                 i1, i2 = i1[..., ::-1], i2[..., ::-1]
+            if bf16:
+                import jax.numpy as jnp
+
+                i1, i2 = i1.astype(jnp.bfloat16), i2.astype(jnp.bfloat16)
             return est(model, params, i1, i2, **est_kw)
 
         def run(img1, img2):
             if not hasattr(run, "params"):
                 run.params = get_params(img1, img2)
+                if bf16:
+                    import jax.numpy as jnp
+
+                    from ..models.common import cast_params
+
+                    run.params = cast_params(run.params, jnp.bfloat16)
             return np.asarray(flow_fn_p(run.params,
                                         img1.astype(np.float32),
                                         img2.astype(np.float32)))
@@ -190,6 +201,13 @@ def main(argv=None):
                     help="also measure pure device ms/frame per method at "
                          "the eval operating point (in-jit scan chain — "
                          "accuracy and latency at the SAME point)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 serving precision for learned methods: params "
+                         "+ inputs cast to bf16, fp32 flow out (the TPU "
+                         "analogue of the reference NeuFlow node's fp16, "
+                         "reference neuflow_node.py:50) — measures the "
+                         "accuracy cost of the reduced-precision latency "
+                         "path; ignored by classical methods")
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -230,7 +248,7 @@ def main(argv=None):
     # comma-separated methods emit one JSON line each (reproduces the README
     # EPE table: --method farneback,raft,neuflow [--hard])
     for method in args.method.split(","):
-        run = _make_method(method, args.ckpt, args.quick)
+        run = _make_method(method, args.ckpt, args.quick, bf16=args.bf16)
         all_stats = []
         t_total = 0.0
         for img1, img2, gt, valid in pairs:
@@ -246,7 +264,8 @@ def main(argv=None):
         agg = {k: float(np.nanmean([s[k] for s in all_stats]))
                for k in all_stats[0]}
         agg.update(method=method, dataset=src, n=len(pairs),
-                   sec_per_pair=t_total / len(pairs))
+                   sec_per_pair=t_total / len(pairs),
+                   dtype="bf16" if args.bf16 else "fp32")
         if args.time_device:
             agg["device_ms_per_frame"] = round(
                 _device_ms_per_frame(run, pairs[0][0], pairs[0][1],

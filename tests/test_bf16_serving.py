@@ -53,6 +53,91 @@ def test_lfn3_bf16_close_to_f32(rng):
     assert np.abs(bf - f32).max() < 0.1
 
 
+def test_run_eval_bf16_wiring(rng):
+    """`run_eval --bf16` must actually cast: params land in bf16 after the
+    first call and the flow contract stays fp32 out (wiring-level check —
+    the bench-crash lesson: an untested flag path is how a broken leg
+    ships)."""
+    from opticalflowcontainer_tpu.eval.run_eval import _make_method
+
+    run = _make_method("neuflow", None, quick=True, bf16=True)
+    i1, i2 = _pair(rng, 48, 64)
+    flow = run(i1, i2)
+    assert flow.dtype == np.float32 and flow.shape == (48, 64, 2)
+    leaves = jax.tree_util.tree_leaves(run.params)
+    assert all(p.dtype == jnp.bfloat16 for p in leaves)
+
+
+def test_liteflownet_bf16_with_trained_weights(rng):
+    from opticalflowcontainer_tpu.models.liteflownet import load_liteflownet_synth
+
+    loaded = load_liteflownet_synth()
+    if loaded is None:
+        pytest.skip("packaged synth weights absent")
+    model, params = loaded
+    i1, i2 = _pair(rng, 64, 96)
+    f32 = np.asarray(model.apply(params, jnp.asarray(i1), jnp.asarray(i2)))
+    bf = np.asarray(
+        model.apply(
+            cast_params(params, jnp.bfloat16),
+            jnp.asarray(i1, jnp.bfloat16),
+            jnp.asarray(i2, jnp.bfloat16),
+        )
+    )
+    assert bf.dtype == np.float32
+    d = np.abs(bf - f32)
+    assert d.mean() < 0.05 and d.max() < 0.3, (d.mean(), d.max())
+
+
+def test_neuflow_v2_bf16_with_trained_weights(rng):
+    from opticalflowcontainer_tpu.models.neuflow_v2 import load_neuflow_v2_synth
+
+    loaded = load_neuflow_v2_synth()
+    if loaded is None:
+        pytest.skip("packaged synth weights absent")
+    model, params = loaded
+    i1, i2 = _pair(rng, 64, 96)
+    f32 = np.asarray(model.apply(params, jnp.asarray(i1), jnp.asarray(i2)))
+    bf = np.asarray(
+        model.apply(
+            cast_params(params, jnp.bfloat16),
+            jnp.asarray(i1, jnp.bfloat16),
+            jnp.asarray(i2, jnp.bfloat16),
+        )
+    )
+    assert bf.dtype == np.float32
+    d = np.abs(bf - f32)
+    assert d.mean() < 0.05 and d.max() < 0.3, (d.mean(), d.max())
+
+
+def test_pwcnet_bf16_with_trained_weights(rng):
+    """PWC is a direct-regression pyramid with a x20 output scaling (no
+    zero-anchored correlation argmax like RAFT/NeuFlow/LFN3), so bf16
+    mantissa noise is amplified ~an order of magnitude more than in the
+    other families (measured on the packaged bootstrap weights: mean 0.82 px
+    / max 3.0 px on noise images whose own easy-suite EPE is 1.52).  The
+    test locks 'runs end-to-end, fp32 flow out, error bounded', not
+    sub-pixel agreement."""
+    from opticalflowcontainer_tpu.models.pwcnet import load_pwcnet_synth
+
+    loaded = load_pwcnet_synth()
+    if loaded is None:
+        pytest.skip("packaged synth weights absent")
+    model, params = loaded
+    i1, i2 = _pair(rng, 64, 128)  # W must be a multiple of 64
+    f32 = np.asarray(model.apply(params, jnp.asarray(i1), jnp.asarray(i2)))
+    bf = np.asarray(
+        model.apply(
+            cast_params(params, jnp.bfloat16),
+            jnp.asarray(i1, jnp.bfloat16),
+            jnp.asarray(i2, jnp.bfloat16),
+        )
+    )
+    assert bf.dtype == np.float32
+    d = np.abs(bf - f32)
+    assert d.mean() < 2.5 and d.max() < 9.0, (d.mean(), d.max())
+
+
 def test_raft_small_bf16_with_trained_weights(rng):
     """RAFT's iterative GRU amplifies precision noise on random weights; with
     the trained synthetic checkpoint the bf16 flow must stay within 0.5 px of
