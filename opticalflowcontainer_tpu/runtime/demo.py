@@ -27,6 +27,10 @@ def main(argv=None):
                     choices=("farneback", "neuflow", "raft", "raft_large"),
                     help="flow backend; learned models use the packaged "
                          "TPU-trained weights and the fused model path")
+    ap.add_argument("--bf16", action="store_true",
+                    help="serve the learned model in bfloat16 (the "
+                         "reference NeuFlow node's fp16 tactic; see "
+                         "FusedModelStream)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -72,7 +76,8 @@ def main(argv=None):
         if loaded is None:
             print(f"no packaged weights for {args.model}")
             return 1
-        backend = make_fused_model_backend(loaded[0], loaded[1], estimate)
+        backend = make_fused_model_backend(loaded[0], loaded[1], estimate,
+                                           bf16=args.bf16)
     elif args.fused:
         from .fused import make_fused_farneback_backend
 

@@ -210,18 +210,30 @@ class FusedModelStream:
     ``estimate_fn(model, params, img1, img2) -> flow`` is any of the model
     ``estimate`` contracts (models/*.py); frames are normalized to [0, 1]
     float (BGR kept by default — the sniklaus-checkpoint convention — pass
-    ``bgr_to_rgb=True`` for RGB-trained nets)."""
+    ``bgr_to_rgb=True`` for RGB-trained nets).
+
+    ``bf16=True`` serves the model in bfloat16 (params + frames cast; flow
+    and the displacement scalar stay fp32) — the node-level analogue of the
+    reference NeuFlow node's fp16 tactic (reference neuflow_node.py:50-51).
+    Measured round 5: NeuFlow-v2 768x432 8.14 -> 5.37 ms/frame (-34%, its
+    attention matmuls are MXU-bound); conv-bound families gain ~3-8%."""
 
     def __init__(self, model, params, estimate_fn, aggregate: str = "mean",
-                 bgr_to_rgb: bool = False):
+                 bgr_to_rgb: bool = False, bf16: bool = False):
         assert aggregate in ("mean", "median")
         self._rgb: jax.Array | None = None
+        if bf16:
+            from ..models.common import cast_params
+
+            params = cast_params(params, jnp.bfloat16)
+        comp = jnp.bfloat16 if bf16 else jnp.float32
 
         @functools.partial(jax.jit, static_argnames=("masked",))
         def _step(prev_rgb, frame, mask, masked):
             f = frame.astype(jnp.float32) * (1.0 / 255.0)
             if bgr_to_rgb:
                 f = f[..., ::-1]
+            f = f.astype(comp)
             flow = estimate_fn(model, params, prev_rgb, f)
             # shared helper: masked mean/median with all-False fallback +
             # nan_to_num scrub (reference neuflow_node.py:145)
@@ -242,6 +254,7 @@ class FusedModelStream:
                 f = frame.astype(jnp.float32) * (1.0 / 255.0)
                 if bgr_to_rgb:
                     f = f[..., ::-1]
+                f = f.astype(comp)
                 flow = estimate_fn(model, params, prev, f)
                 return f, _aggregate_u(flow[..., 0], mask, aggregate, masked)
 
@@ -250,9 +263,10 @@ class FusedModelStream:
         self._params = params
         self._chunk_fn = _chunk
         self._prep = jax.jit(
-            lambda frame: (frame.astype(jnp.float32) * (1.0 / 255.0))[..., ::-1]
-            if bgr_to_rgb
-            else frame.astype(jnp.float32) * (1.0 / 255.0)
+            lambda frame: ((frame.astype(jnp.float32) * (1.0 / 255.0))[..., ::-1]
+                           if bgr_to_rgb
+                           else frame.astype(jnp.float32) * (1.0 / 255.0)
+                           ).astype(comp)
         )
 
     def reset(self):
@@ -287,10 +301,13 @@ class FusedModelStream:
 
 def make_fused_model_backend(model, params, estimate_fn,
                              aggregate: str = "mean",
-                             bgr_to_rgb: bool = False) -> Callable:
+                             bgr_to_rgb: bool = False,
+                             bf16: bool = False) -> Callable:
     """FlowNode backend wrapping :class:`FusedModelStream` (stateful: the
-    previous normalized frame lives on device; ``returns_displacement``)."""
-    stream = FusedModelStream(model, params, estimate_fn, aggregate, bgr_to_rgb)
+    previous normalized frame lives on device; ``returns_displacement``).
+    ``bf16=True`` serves in bfloat16 (see :class:`FusedModelStream`)."""
+    stream = FusedModelStream(model, params, estimate_fn, aggregate,
+                              bgr_to_rgb, bf16=bf16)
 
     def backend(prev, cur, dt, mask=None):
         if stream._rgb is None:

@@ -84,3 +84,43 @@ def test_model_stream_step_many_matches_sequential():
     chunked = list(np.asarray(s2.step_many(np.stack(frames[1:4])))) + list(
         np.asarray(s2.step_many(np.stack(frames[4:6]))))
     assert np.allclose(seq, chunked, atol=1e-5)
+
+
+def test_model_stream_bf16_close_to_f32():
+    """bf16 fused serving (the reference NeuFlow node's fp16 tactic,
+    reference neuflow_node.py:50-51): params + frames cast to bf16, the
+    displacement scalar stays fp32 and close to the fp32 stream — and
+    step_many must agree with per-frame step in bf16 too."""
+    import jax.numpy as jnp
+
+    from opticalflowcontainer_tpu.models.neuflow import (
+        NeuFlowLite,
+        estimate,
+    )
+
+    rng = np.random.default_rng(2)
+    H, W = 48, 64
+    model = NeuFlowLite()
+    params = model.init(
+        __import__("jax").random.PRNGKey(0),
+        jnp.zeros((H, W, 3)), jnp.zeros((H, W, 3)))
+    base = rng.uniform(0, 255, (H, W + 10, 3)).astype(np.uint8)
+    frames = [np.ascontiguousarray(base[:, i : i + W]) for i in range(5)]
+
+    s32 = fz.FusedModelStream(model, params, estimate)
+    s32.step(frames[0])
+    f32 = [float(s32.step(f)) for f in frames[1:]]
+
+    sb = fz.FusedModelStream(model, params, estimate, bf16=True)
+    sb.step(frames[0])
+    bf = [float(sb.step(f)) for f in frames[1:]]
+    assert sb._rgb.dtype == jnp.bfloat16  # frames carried in bf16
+    assert np.max(np.abs(np.asarray(bf) - np.asarray(f32))) < 0.25, (bf, f32)
+
+    sb2 = fz.FusedModelStream(model, params, estimate, bf16=True)
+    sb2.step(frames[0])
+    chunked = np.asarray(sb2.step_many(np.stack(frames[1:])))
+    # in bf16 the scan-fused chunk program and the single-step program may
+    # round differently (XLA fuses the cast into different neighbors), so
+    # chunk-vs-step is close, not bit-equal like the fp32 assertion above
+    assert np.allclose(chunked, bf, atol=1e-2)
