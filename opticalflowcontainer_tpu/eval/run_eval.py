@@ -263,9 +263,13 @@ def main(argv=None):
         # not poison the aggregate
         agg = {k: float(np.nanmean([s[k] for s in all_stats]))
                for k in all_stats[0]}
+        # classical methods ignore --bf16 (help text) — label their rows
+        # fp32 so a mixed-method run never publishes a mislabeled number;
+        # flow_fn_p only exists on learned-method runners
+        method_bf16 = args.bf16 and hasattr(run, "flow_fn_p")
         agg.update(method=method, dataset=src, n=len(pairs),
                    sec_per_pair=t_total / len(pairs),
-                   dtype="bf16" if args.bf16 else "fp32")
+                   dtype="bf16" if method_bf16 else "fp32")
         if args.time_device:
             agg["device_ms_per_frame"] = round(
                 _device_ms_per_frame(run, pairs[0][0], pairs[0][1],

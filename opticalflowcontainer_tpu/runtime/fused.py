@@ -229,7 +229,10 @@ class FusedModelStream:
         comp = jnp.bfloat16 if bf16 else jnp.float32
 
         @functools.partial(jax.jit, static_argnames=("masked",))
-        def _step(prev_rgb, frame, mask, masked):
+        def _step(params, prev_rgb, frame, mask, masked):
+            # params as a jit ARG like _chunk below — closure-captured numpy
+            # weights would serialize into the HLO as literals and inflate
+            # every axon remote-compile upload (round-2 session-5 lesson)
             f = frame.astype(jnp.float32) * (1.0 / 255.0)
             if bgr_to_rgb:
                 f = f[..., ::-1]
@@ -284,7 +287,8 @@ class FusedModelStream:
             self._rgb = self._prep(frame)
             return None
         m = jnp.zeros((), bool) if mask is None else jnp.asarray(mask, bool)
-        self._rgb, du = self._step_fn(self._rgb, frame, m, mask is not None)
+        self._rgb, du = self._step_fn(
+            self._params, self._rgb, frame, m, mask is not None)
         return du
 
     def step_many(self, frames: np.ndarray, mask: np.ndarray | None = None):

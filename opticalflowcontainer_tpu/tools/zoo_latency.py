@@ -33,42 +33,50 @@ import sys
 import time
 
 
-def _spec(name: str):
-    """(H, W, load_fn, step_factory) for one family.  step_factory(model,
-    params) -> step(img1, img2) returning the final flow field."""
+def _spec(name: str, quick: bool = False):
+    """(H, W, load_fn, step_factory) for one family.  step_factory(model) ->
+    step(params, img1, img2) returning the final flow field — params stay a
+    jit ARGUMENT all the way into the timing chain, never a closure constant
+    (trace-time weight literals inflate every axon remote-compile upload and
+    blew the request limit outright in round 2 — CLAUDE.md session-5).
+    ``quick`` drops iterative models to tiny iteration counts (the
+    run_eval._learned_spec quick pattern) so the CI smoke can afford to
+    compile every family."""
     if name == "liteflownet":
         from ..models import liteflownet as m
 
         return 480, 640, m.load_liteflownet_synth, (
-            lambda model, params: lambda a, b: m.estimate(model, params, a, b))
+            lambda model: lambda p, a, b: m.estimate(model, p, a, b))
     if name == "liteflownet3":
         from ..models import liteflownet3 as m
 
         return 480, 640, m.load_liteflownet3_synth, (
-            lambda model, params: lambda a, b: m.estimate(model, params, a, b))
+            lambda model: lambda p, a, b: m.estimate(model, p, a, b))
     if name == "pwcnet":
         from ..models import pwcnet as m
 
         return 448, 640, m.load_pwcnet_synth, (
-            lambda model, params: lambda a, b: m.estimate(model, params, a, b))
+            lambda model: lambda p, a, b: m.estimate(model, p, a, b))
     if name in ("raft_small", "raft_large"):
         from ..models import raft as m
 
         load = m.load_raft_small_synth if name == "raft_small" else m.load_raft_synth
+        iters = 2 if quick else 12
         return 384, 512, load, (
-            lambda model, params: lambda a, b: m.estimate(
-                model, params, a, b, iters=12))
+            lambda model: lambda p, a, b: m.estimate(
+                model, p, a, b, iters=iters))
     if name == "neuflow_lite":
         from ..models import neuflow as m
 
         return 432, 768, m.load_neuflow_lite_synth, (
-            lambda model, params: lambda a, b: m.estimate(model, params, a, b))
+            lambda model: lambda p, a, b: m.estimate(model, p, a, b))
     if name == "neuflow_v2":
         from ..models import neuflow_v2 as m
 
+        iters_s8 = 1 if quick else 8
         return 432, 768, m.load_neuflow_v2_synth, (
-            lambda model, params: lambda a, b: m.estimate(
-                model, params, a, b, iters_s8=8))
+            lambda model: lambda p, a, b: m.estimate(
+                model, p, a, b, iters_s8=iters_s8))
     raise SystemExit(f"unknown model {name!r}")
 
 
@@ -112,7 +120,7 @@ def main(argv=None):
     rows = []
     for name in args.models.split(","):
         name = name.strip()
-        H, W, load, factory = _spec(name)
+        H, W, load, factory = _spec(name, quick=args.quick)
         if args.quick:
             H, W = 96, 128
         loaded = load()
@@ -123,15 +131,16 @@ def main(argv=None):
         model, params = loaded
         if args.bf16:
             params = cast_params(params, jnp.bfloat16)
-        step = factory(model, params)
+        params = jax.device_put(params)
+        step = factory(model)
         base = rng.uniform(0, 1, (H + 8, W + 8, 3)).astype(np.float32)
         i1 = jnp.asarray(base[4 : 4 + H, 4 : 4 + W], dtype)
         i2 = jnp.asarray(base[4 : 4 + H, 2 : 2 + W], dtype)
 
         def make_chain(n):
-            def chain(a, b):
+            def chain(p, a, b):
                 def body(carry, _):
-                    out = step(a + (0.0 * carry).astype(a.dtype), b)
+                    out = step(p, a + (0.0 * carry).astype(a.dtype), b)
                     return out.astype(jnp.float32).sum(), None
 
                 s, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
@@ -141,13 +150,14 @@ def main(argv=None):
 
         fn, fn_half = make_chain(reps), make_chain(reps_half)
         t0 = time.time()
-        float(fn(i1, i2))
+        float(fn(params, i1, i2))
         compile_s = time.time() - t0
-        float(fn_half(i1, i2))
+        float(fn_half(params, i1, i2))
 
         def timed(f):
             return min(
-                (lambda s: (float(f(i1, i2)), time.time() - s)[1])(time.time())
+                (lambda s: (float(f(params, i1, i2)),
+                            time.time() - s)[1])(time.time())
                 for _ in range(args.rounds)
             )
 
@@ -155,8 +165,10 @@ def main(argv=None):
         wall_ms = t_full / reps * 1000
         dev_ms = ((t_full - t_half) / (reps - reps_half) * 1000
                   if reps > reps_half else wall_ms)
-        if not (0.0 < dev_ms <= wall_ms * 1.25):
-            dev_ms = wall_ms  # RTT jitter made the difference non-physical
+        if not (0.0 < dev_ms <= wall_ms):
+            # RTT jitter made the chain difference non-physical (negative or
+            # above the amortized wall time, which device time can never be)
+            dev_ms = wall_ms
         row = {
             "model": name, "height": H, "width": W,
             "dtype": "bf16" if args.bf16 else "fp32",
