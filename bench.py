@@ -29,6 +29,11 @@ BASELINE_FIELDS_PER_SEC = 1000.0  # BASELINE.json north star (full v5e)
 
 
 def _bench_main(argv=None):
+    # clear any record left by a PREVIOUS invocation in this process FIRST:
+    # if this run crashes before its own state is published (e.g. a corrupt
+    # cache tarball in _cc.restore), main()'s handler must not emit a prior
+    # run's measurement as this run's chip truth
+    _bench_main._state = None
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--json-only", action="store_true")
@@ -748,7 +753,9 @@ def _bench_main(argv=None):
             record["lfn3_device_ms_per_frame"] = round(t_l / l_reps * 1000, 2)
             _save_last_good(partial=True)
             if not args.json_only:
-                print(f"# LFN3 stream 640x480@30 (sync_every=2): sustained "
+                print(f"# LFN3 stream 640x480@30 "
+                      f"(sync_every={lat3['sync_every']} "
+                      f"chunk={lat3.get('chunk', 1)}): sustained "
                       f"{lat3['sustained_fps']:.1f} fps "
                       f"(held={lat3['held_rate']}), p50 {lat3['p50_ms']:.1f} ms; "
                       f"device {t_l / l_reps * 1000:.1f} ms/frame",

@@ -111,7 +111,12 @@ def bringup_junction_remote(
         reader.start()
         reader.join(ready_timeout)
         if not got or got[0] != "READY":
+            # tear down everything built above — a caller retrying bringup
+            # must not accumulate leaked server sockets / attached nodes
             child.kill()
+            child.wait(timeout=5.0)
+            server.close()
+            node.stop()
             raise RuntimeError(
                 "detector process failed to start "
                 f"(got {got[0] if got else 'timeout'!r})")

@@ -92,19 +92,21 @@ def main(argv=None):
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
     opt_state = tx.init(params)
 
-    def targets(img):
+    def targets(tp, img):
         # the trunk sees LFN3's input convention (per-image mean removed,
         # liteflownet3.py __call__); the student sees PWC's raw [0,1]
-        t = trunk.apply(trunk_params, img - img.mean(axis=(0, 1),
-                                                     keepdims=True))
+        t = trunk.apply(tp, img - img.mean(axis=(0, 1), keepdims=True))
         return t[1:6]  # l2..l6
 
+    # teacher params ride as a jit ARGUMENT like the student's — a closure
+    # capture would serialize the whole trunk tree into the HLO uploaded to
+    # the axon remote compiler (the round-2 session-5 failure mode)
     @jax.jit
-    def step(params, opt_state, imgs):
+    def step(params, opt_state, trunk_p, imgs):
         def loss_fn(p):
             def one(img):
                 outs = student.apply(p, img)
-                tgts = targets(img)
+                tgts = targets(trunk_p, img)
                 total = 0.0
                 for o, t in zip(outs, tgts):
                     t = jax.lax.stop_gradient(t)
@@ -125,7 +127,7 @@ def main(argv=None):
         imgs = jnp.asarray(np.concatenate(
             [batch["img1"][: args.batch // 2],
              batch["img2"][: (args.batch + 1) // 2]]))
-        params, opt_state, loss = step(params, opt_state, imgs)
+        params, opt_state, loss = step(params, opt_state, trunk_params, imgs)
         if it % args.log_every == 0 or it == 1:
             print(f"step {it:5d}  feat-loss {float(loss):7.4f}  "
                   f"{it / max(time.time() - t0, 1e-9):.2f} steps/s",

@@ -222,6 +222,12 @@ def main(argv=None):
                          "of gray-replicated 3-channel frames")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
+    if args.curriculum and args.motion_mix:
+        # the per-step schedule branch would silently pick curriculum and
+        # reproduce exactly the large-motion overfit --motion-mix fixes
+        raise SystemExit("--curriculum and --motion-mix are mutually "
+                         "exclusive (the curriculum branch would win every "
+                         "step and the mix would never fire)")
 
     import numpy as np
     import jax
@@ -313,6 +319,16 @@ def main(argv=None):
                 grads["params"]["extractor"] = jax.tree_util.tree_map(
                     jnp.zeros_like, grads["params"]["extractor"])
             updates, opt_state = tx.update(grads, s.opt_state, s.params)
+            if args.freeze_extractor and "extractor" in updates.get(
+                    "params", {}):
+                # zeroing grads is not enough: adamw's DECOUPLED weight
+                # decay contributes -lr*wd*p to the update regardless of the
+                # gradient, drifting the "frozen" grafted extractor by
+                # ~lr*wd per step — zero the final updates too
+                updates = dict(updates)
+                updates["params"] = dict(updates["params"])
+                updates["params"]["extractor"] = jax.tree_util.tree_map(
+                    jnp.zeros_like, updates["params"]["extractor"])
             params = optax.apply_updates(s.params, updates)
             return TrainState(params, opt_state, s.step + 1), loss
     else:
@@ -397,6 +413,11 @@ def main(argv=None):
         params["params"] = dict(params["params"], extractor=jax.tree_util
                                 .tree_map(jnp.asarray, ext))
         print(f"grafted distilled extractor from {args.init_extractor}")
+    if args.freeze_extractor and "extractor" not in params.get("params", {}):
+        # without this, --freeze-extractor on e.g. raft_small would silently
+        # train everything (the in-step guard checks the same key)
+        raise SystemExit(f"--freeze-extractor: model {name!r} has no "
+                         "'extractor' param group (pwcnet stage-B option)")
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
     step_fn = jax.jit(step_body)

@@ -181,3 +181,20 @@ def test_neuflow_v2_training_runs(rng):
 
     params = load_flat_npz(out)
     assert params["params"]
+
+
+def test_train_flow_flag_validation():
+    """Misuse of the fine-tune flags must fail loudly at parse time: the
+    schedule branch would otherwise silently pick --curriculum over
+    --motion-mix (reproducing the LFN3 large-motion overfit the flag was
+    added to fix), and --freeze-extractor on a model without an 'extractor'
+    group would silently train everything."""
+    from opticalflowcontainer_tpu.tools.train_flow import main
+
+    with pytest.raises(SystemExit, match="mutually"):
+        main(["--model", "pwcnet", "--curriculum", "--motion-mix",
+              "--steps", "1", "--cpu"])
+    with pytest.raises(SystemExit, match="extractor"):
+        main(["--model", "raft_small", "--freeze-extractor", "--steps", "1",
+              "--batch", "1", "--height", "32", "--width", "32", "--cpu",
+              "--out", "/tmp/_never_written.npz"])
